@@ -1,0 +1,182 @@
+"""The factor-graph compiler: CNF instances -> packed, padded edge-list tensors.
+
+Replaces the reference's collate pipeline (src/pdp/factorgraph/dataset.py:
+138-187 `dag_collate_fn` + `DynamicBatchDivider`). A batch of CNF instances is
+concatenated into one disjoint bipartite factor graph; unlike the reference's
+ragged concatenation, shapes here are padded up to static *bucket* dimensions
+so XLA compiles one program per bucket instead of one per batch.
+
+Encoding (mirrors the reference semantics, src/pdp/factorgraph/dataset.py:120-136):
+  edge_var[e]     variable index of edge e (instance-offset)
+  edge_clause[e]  clause   index of edge e (instance-offset)
+  edge_sign[e]    +1 if the literal is positive, -1 if negated, 0 on padding
+  var_batch[v]    instance id of variable v      (reference batch_variable_map)
+  clause_batch[f] instance id of clause  f       (reference batch_function_map)
+
+Edges are stored sorted by (instance, clause) - the natural DIMACS order - so
+clause-segment reductions can use the sorted fast path.
+
+Padding rows point at the last valid slot with a 0 mask so segment ops stay
+in-bounds; padding *instances* are marked in instance_mask and start deactivated
+so the solver's masking machinery ignores them for free.
+"""
+
+from typing import NamedTuple, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+
+class FGBatch(NamedTuple):
+    """A packed batch of CNF factor graphs (a valid JAX pytree)."""
+
+    edge_var: jnp.ndarray      # i32[E]
+    edge_clause: jnp.ndarray   # i32[E]
+    edge_sign: jnp.ndarray     # f32[E]
+    var_batch: jnp.ndarray     # i32[V]
+    clause_batch: jnp.ndarray  # i32[F]
+    edge_mask: jnp.ndarray     # f32[E] 1 = real edge
+    var_mask: jnp.ndarray      # f32[V]
+    clause_mask: jnp.ndarray   # f32[F]
+    instance_mask: jnp.ndarray  # f32[B]
+    label: jnp.ndarray         # f32[B]
+
+    @property
+    def num_edges(self):
+        return self.edge_var.shape[0]
+
+    @property
+    def num_vars(self):
+        return self.var_batch.shape[0]
+
+    @property
+    def num_clauses(self):
+        return self.clause_batch.shape[0]
+
+    @property
+    def batch_size(self):
+        return self.label.shape[0]
+
+
+def bucket_dims(v: int, f: int, e: int, b: int,
+                granularity: float = 2.0,
+                min_dim: int = 128) -> Tuple[int, int, int, int]:
+    """Round dims up to a geometric grid to bound the number of compiled programs.
+
+    Replaces the reference's DynamicBatchDivider memory heuristic
+    (src/pdp/factorgraph/dataset.py:36-74) with static shape buckets: every
+    packed batch lands on one of O(log V * log E) shapes, each jit-compiled
+    once and cached.
+    """
+
+    def up(x):
+        x = max(x, min_dim)
+        g = min_dim
+        while g < x:
+            g = int(np.ceil(g * granularity))
+        return g
+
+    return up(v), up(f), up(e), up(b)
+
+
+def pack_instances(instances: Sequence[tuple],
+                   pad_v: int = None, pad_f: int = None,
+                   pad_e: int = None, pad_b: int = None,
+                   bucket: bool = True,
+                   granularity: float = 2.0) -> FGBatch:
+    """Pack per-instance tuples (n, m, graph_map[2,Ei], edge_sign[Ei], label)
+    into one padded FGBatch (numpy; call jax.device_put on the result or let
+    jit consume it).
+    """
+    n_inst = len(instances)
+    tot_v = sum(int(inst[0]) for inst in instances)
+    tot_f = sum(int(inst[1]) for inst in instances)
+    tot_e = sum(int(inst[2].shape[1]) for inst in instances)
+
+    if pad_v is None:
+        if bucket:
+            pad_v, pad_f, pad_e, pad_b = bucket_dims(
+                tot_v, tot_f, tot_e, n_inst, granularity)
+        else:
+            pad_v, pad_f, pad_e, pad_b = tot_v, tot_f, tot_e, n_inst
+
+    if tot_v > pad_v or tot_f > pad_f or tot_e > pad_e or n_inst > pad_b:
+        raise ValueError(
+            f"batch ({tot_v},{tot_f},{tot_e},{n_inst}) exceeds padded shape "
+            f"({pad_v},{pad_f},{pad_e},{pad_b})")
+
+    edge_var = np.zeros(pad_e, dtype=np.int32)
+    edge_clause = np.zeros(pad_e, dtype=np.int32)
+    edge_sign = np.zeros(pad_e, dtype=np.float32)
+    var_batch = np.zeros(pad_v, dtype=np.int32)
+    clause_batch = np.zeros(pad_f, dtype=np.int32)
+    label = np.zeros(pad_b, dtype=np.float32)
+
+    v_off = f_off = e_off = 0
+    for b, inst in enumerate(instances):
+        n, m, gmap, signs = int(inst[0]), int(inst[1]), inst[2], inst[3]
+        ei = gmap.shape[1]
+        # keep edges sorted by clause within the instance (stable), the
+        # natural order of DIMACS / the JSON format
+        order = np.argsort(gmap[1], kind="stable")
+        edge_var[e_off:e_off + ei] = gmap[0][order] + v_off
+        edge_clause[e_off:e_off + ei] = gmap[1][order] + f_off
+        edge_sign[e_off:e_off + ei] = np.asarray(signs, dtype=np.float32).reshape(-1)[order]
+        var_batch[v_off:v_off + n] = b
+        clause_batch[f_off:f_off + m] = b
+        label[b] = float(inst[4])
+        v_off += n
+        f_off += m
+        e_off += ei
+
+    # padding rows point at the last real slot (contributions are masked out)
+    last_v = max(v_off - 1, 0)
+    last_f = max(f_off - 1, 0)
+    last_b = max(n_inst - 1, 0)
+    edge_var[e_off:] = last_v
+    edge_clause[e_off:] = last_f
+    var_batch[v_off:] = last_b
+    clause_batch[f_off:] = last_b
+
+    edge_mask = (np.arange(pad_e) < e_off).astype(np.float32)
+    var_mask = (np.arange(pad_v) < v_off).astype(np.float32)
+    clause_mask = (np.arange(pad_f) < f_off).astype(np.float32)
+    instance_mask = (np.arange(pad_b) < n_inst).astype(np.float32)
+
+    return FGBatch(
+        edge_var=edge_var, edge_clause=edge_clause, edge_sign=edge_sign,
+        var_batch=var_batch, clause_batch=clause_batch,
+        edge_mask=edge_mask, var_mask=var_mask, clause_mask=clause_mask,
+        instance_mask=instance_mask, label=label)
+
+
+def replicate_batch(batch: FGBatch, replication: int) -> FGBatch:
+    """Replicate every instance R times with index offsets (search parallelism).
+
+    TPU-native equivalent of reference `SATProblem._replicate_batch`
+    (src/pdp/nn/solver.py:56-82): replica r of instance b gets instance id
+    r * B + b, variable slot v + r * V, clause slot f + r * F; de-duplication
+    later reduces over the leading replica axis by reshape (see
+    solvers/base.py deduplicate).
+    """
+    if replication <= 1:
+        return batch
+    R = replication
+    E, V, F, B = (batch.num_edges, batch.num_vars, batch.num_clauses,
+                  batch.batch_size)
+    r_e = jnp.repeat(jnp.arange(R, dtype=jnp.int32), E)
+    r_v = jnp.repeat(jnp.arange(R, dtype=jnp.int32), V)
+    r_f = jnp.repeat(jnp.arange(R, dtype=jnp.int32), F)
+
+    return FGBatch(
+        edge_var=jnp.tile(batch.edge_var, R) + r_e * V,
+        edge_clause=jnp.tile(batch.edge_clause, R) + r_e * F,
+        edge_sign=jnp.tile(batch.edge_sign, R),
+        var_batch=jnp.tile(batch.var_batch, R) + r_v * B,
+        clause_batch=jnp.tile(batch.clause_batch, R) + r_f * B,
+        edge_mask=jnp.tile(batch.edge_mask, R),
+        var_mask=jnp.tile(batch.var_mask, R),
+        clause_mask=jnp.tile(batch.clause_mask, R),
+        instance_mask=jnp.tile(batch.instance_mask, R),
+        label=jnp.tile(batch.label, R),
+    )

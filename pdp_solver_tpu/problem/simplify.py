@@ -1,0 +1,165 @@
+"""CNF simplification as on-device fixed points.
+
+Reference: `SATProblem._propagate_single_clauses` (unit propagation,
+src/pdp/nn/solver.py:228-273), `_peel` (pure-literal elimination,
+solver.py:180-203) and `_set_variable_core` (solver.py:205-226). The reference
+runs data-dependent Python while-loops with `.sum().item()`-style host syncs
+per round; here each loop is a `lax.while_loop` whose condition is a scalar
+reduction that never leaves the device.
+
+All tensors are 1-D ([V], [F], [E], [B]); the caller owns 2-D lifting.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from pdp_solver_tpu.fg.batch import FGBatch
+from pdp_solver_tpu.ops import segment_sum
+from pdp_solver_tpu.problem.state import ProblemState
+
+
+def set_variable_core(batch: FGBatch, state: ProblemState,
+                      assignment: jnp.ndarray) -> ProblemState:
+    """Fix variables to +-1 values; deactivate them and any clause they satisfy.
+
+    Port of solver.py:205-226. `assignment` is f32[V] in {-1, 0, +1}; zero
+    entries are untouched.
+    """
+    F = batch.num_clauses
+    assignment = assignment * state.active_vars
+
+    a_e = assignment[batch.edge_var] * batch.edge_mask
+    # number of assigned inputs / signed evaluation per clause (edge sums)
+    input_num = segment_sum(jnp.abs(a_e), batch.edge_clause, F,
+                            indices_are_sorted=True)
+    clause_eval = segment_sum(batch.edge_sign * a_e, batch.edge_clause, F,
+                              indices_are_sorted=True)
+
+    # a clause with at least one satisfying assigned literal is removed
+    satisfied = (clause_eval > -input_num) & (state.active_clauses > 0)
+
+    assigned = jnp.abs(assignment) == 1
+    return state._replace(
+        active_vars=jnp.where(assigned, 0.0, state.active_vars),
+        active_clauses=jnp.where(satisfied, 0.0, state.active_clauses),
+        solution=jnp.where(assigned, (assignment + 1.0) / 2.0, state.solution),
+    )
+
+
+def _unit_clauses(batch: FGBatch, state: ProblemState) -> jnp.ndarray:
+    """f32[F] indicator of active clauses with exactly one active variable."""
+    contrib = state.active_vars[batch.edge_var] * batch.edge_mask
+    degree = segment_sum(contrib, batch.edge_clause, batch.num_clauses,
+                         indices_are_sorted=True)
+    return (degree == 1).astype(jnp.float32) * state.active_clauses
+
+
+def unit_propagate(batch: FGBatch, state: ProblemState) -> ProblemState:
+    """Unit-clause propagation with conflict -> whole-instance UNSAT marking.
+
+    Port of solver.py:228-273. On conflict the reference marks the instance
+    UNSAT and deactivates its nodes; we deactivate whenever the instance has
+    >= 1 conflicting variable (the reference's `== 1` test at solver.py:256-261
+    silently skips deactivation when two conflicts land in the same round,
+    which is a latent bug we do not copy - is_sat is set identically).
+    """
+    V, B = batch.num_vars, batch.batch_size
+
+    def cond(carry):
+        _, single = carry
+        return jnp.sum(single) > 0
+
+    def body(carry):
+        state, single = carry
+        s_e = single[batch.edge_clause] * batch.edge_mask
+        input_num = segment_sum(s_e, batch.edge_var, V)
+        var_eval = segment_sum(batch.edge_sign * s_e, batch.edge_var, V)
+
+        # conflicting variables are forced both ways by unit clauses
+        conflict = ((jnp.abs(var_eval) != input_num).astype(jnp.float32)
+                    * state.active_vars)
+        unsat_count = segment_sum(conflict, batch.var_batch, B)
+        unsat_b = unsat_count >= 1
+        is_sat = jnp.where(unsat_b, 0.0, state.is_sat)
+        active_vars = jnp.where(unsat_b[batch.var_batch], 0.0,
+                                state.active_vars)
+        active_clauses = jnp.where(unsat_b[batch.clause_batch], 0.0,
+                                   state.active_clauses)
+
+        # forced assignments (uses post-conflict active mask, solver.py:264)
+        assigned = ((jnp.abs(var_eval) == input_num).astype(jnp.float32)
+                    * active_vars)
+        assignment = jnp.sign(var_eval) * assigned
+
+        # unit clauses themselves are consumed (solver.py:270)
+        active_clauses = jnp.where(single > 0, 0.0, active_clauses)
+
+        state = state._replace(active_vars=active_vars,
+                               active_clauses=active_clauses,
+                               is_sat=is_sat)
+        state = set_variable_core(batch, state, assignment)
+        return state, _unit_clauses(batch, state)
+
+    state, _ = jax.lax.while_loop(cond, body, (state, _unit_clauses(batch, state)))
+    return state
+
+
+def peel(batch: FGBatch, state: ProblemState) -> ProblemState:
+    """Iteratively remove pure-literal (and isolated) variables.
+
+    Port of solver.py:180-203: a variable whose active degree equals the
+    absolute signed degree occurs with a single polarity (or not at all); it
+    can be fixed to that polarity, satisfying (removing) all its clauses.
+    Degrees are updated incrementally exactly like the reference.
+    """
+    V, F = batch.num_vars, batch.num_clauses
+    e_clause_active = state.active_clauses[batch.edge_clause] * batch.edge_mask
+    degree = segment_sum(e_clause_active, batch.edge_var, V)
+    signed_degree = segment_sum(batch.edge_sign * e_clause_active,
+                                batch.edge_var, V)
+
+    def pure_vars(state, degree, signed_degree):
+        return ((degree == jnp.abs(signed_degree)).astype(jnp.float32)
+                * state.active_vars)
+
+    def cond(carry):
+        state, degree, signed_degree = carry
+        return jnp.sum(pure_vars(state, degree, signed_degree)) > 0
+
+    def body(carry):
+        state, degree, signed_degree = carry
+        single_v = pure_vars(state, degree, signed_degree)
+
+        touched = segment_sum(single_v[batch.edge_var] * batch.edge_mask,
+                              batch.edge_clause, F, indices_are_sorted=True)
+        single_f = (touched > 0).astype(jnp.float32) * state.active_clauses
+
+        f_e = single_f[batch.edge_clause] * batch.edge_mask
+        delta = segment_sum(f_e, batch.edge_var, V) * state.active_vars
+        signed_delta = (segment_sum(batch.edge_sign * f_e, batch.edge_var, V)
+                        * state.active_vars)
+
+        solution = jnp.where(
+            single_v == 1,
+            (jnp.sign(signed_degree) + 1.0) / 2.0,
+            state.solution)
+
+        state = state._replace(
+            solution=solution,
+            active_vars=jnp.where(single_v == 1, 0.0, state.active_vars),
+            active_clauses=jnp.where(single_f == 1, 0.0, state.active_clauses))
+        return state, degree - delta, signed_degree - signed_delta
+
+    state, _, _ = jax.lax.while_loop(cond, body, (state, degree, signed_degree))
+    return state
+
+
+def simplify(batch: FGBatch, state: ProblemState) -> ProblemState:
+    """Unit propagation followed by peeling (solver.py:281-285)."""
+    return peel(batch, unit_propagate(batch, state))
+
+
+def set_variables(batch: FGBatch, state: ProblemState,
+                  assignment: jnp.ndarray) -> ProblemState:
+    """Fix variables then re-simplify (solver.py:275-279) - the decimation step."""
+    return simplify(batch, set_variable_core(batch, state, assignment))
