@@ -1,0 +1,101 @@
+"""Dataset generation CLI (reference src/pdp/generator.py __main__).
+
+Sweeps the alpha range in `res` bands, writing a DIMACS directory and a JSON
+file per band.
+
+Usage:
+  python -m pdp_solver_tpu.cli.generate OUT_DIR OUT_JSON NAME SIZE METHOD \
+      [--min_n ..] [--max_n ..] [--min_k ..] ... [-s]
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from pdp_solver_tpu.fg.dimacs import write_dimacs
+from pdp_solver_tpu.fg.generators import (
+    UniformCNFGenerator, ModularCNFGenerator, VariableModularCNFGenerator)
+from pdp_solver_tpu.fg.jsonfmt import instance_to_line
+
+
+def _instance_to_clauses(n, gmap, signs):
+    m = int(gmap[1].max()) + 1 if gmap.shape[1] else 0
+    clauses = [[] for _ in range(m)]
+    for v, c, s in zip(gmap[0], gmap[1], signs):
+        clauses[int(c)].append(int((v + 1) * s))
+    return clauses
+
+
+def generate_dataset(generator, size, out_dimacs, out_json, name,
+                     alpha_resolution=10, sat_only=False):
+    os.makedirs(out_dimacs, exist_ok=True)
+    os.makedirs(out_json, exist_ok=True)
+    alpha_min, alpha_max = generator._min_alpha, generator._max_alpha
+    inc = (alpha_max - alpha_min) / alpha_resolution
+
+    for j in range(alpha_resolution):
+        lo = alpha_min + j * inc
+        postfix = f"_{j}_{lo}_{lo + inc}"
+        band_dir = os.path.join(out_dimacs, name + postfix)
+        os.makedirs(band_dir, exist_ok=True)
+        generator._min_alpha, generator._max_alpha = lo, lo + inc
+
+        with open(os.path.join(out_json, name + postfix + ".json"),
+                  "w") as f:
+            for i in range(size):
+                n, m, gmap, signs, label = generator.generate()[:5]
+                if sat_only and label != 1:
+                    # the reference's labeler is a stub (generator.py:15-17);
+                    # without a labeling solver sat_only keeps everything
+                    pass
+                f.write(instance_to_line(n, m, gmap, signs, label) + "\n")
+                fname = f"dimacs_{i}_sat={int(label)}.DIMACS"
+                write_dimacs(os.path.join(band_dir, fname), n,
+                             _instance_to_clauses(n, gmap, signs))
+                print("Dataset %2d/%2d: %.2f %% complete  " % (
+                    j + 1, alpha_resolution, 100.0 * (i + 1) / size),
+                    end="\r", file=sys.stderr)
+    generator._min_alpha, generator._max_alpha = alpha_min, alpha_max
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("out_dir")
+    parser.add_argument("out_json")
+    parser.add_argument("name")
+    parser.add_argument("size", type=int)
+    parser.add_argument("method")
+    parser.add_argument("--min_n", type=int, default=40)
+    parser.add_argument("--max_n", type=int, default=40)
+    parser.add_argument("--min_c", type=int, default=10)
+    parser.add_argument("--max_c", type=int, default=40)
+    parser.add_argument("--min_q", type=float, default=0.3)
+    parser.add_argument("--max_q", type=float, default=0.9)
+    parser.add_argument("--min_k", type=int, default=3)
+    parser.add_argument("--max_k", type=int, default=5)
+    parser.add_argument("--min_a", type=float, default=2)
+    parser.add_argument("--max_a", type=float, default=10)
+    parser.add_argument("--res", type=int, default=5)
+    parser.add_argument("-s", "--sat_only", action="store_true")
+    parser.add_argument("--seed", type=int, default=None)
+    a = parser.parse_args(argv)
+
+    if a.method == "modular":
+        gen = ModularCNFGenerator(a.min_k, a.min_n, a.max_n, a.min_q, a.max_q,
+                                  a.min_c, a.max_c, a.min_a, a.max_a,
+                                  seed=a.seed)
+    elif a.method == "v-modular":
+        gen = VariableModularCNFGenerator(
+            a.min_k, a.max_k, a.min_n, a.max_n, a.min_q, a.max_q, a.min_c,
+            a.max_c, a.min_a, a.max_a, seed=a.seed)
+    else:
+        gen = UniformCNFGenerator(a.min_n, a.max_n, a.min_k, a.max_k,
+                                  a.min_a, a.max_a, seed=a.seed)
+    generate_dataset(gen, a.size, a.out_dir, a.out_json, a.name, a.res,
+                     a.sat_only)
+
+
+if __name__ == "__main__":
+    main()

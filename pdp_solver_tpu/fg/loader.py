@@ -1,0 +1,127 @@
+"""Input pipeline: JSON datasets and generator streams -> packed FGBatches.
+
+Replaces reference `FactorGraphDataset` / `DynamicBatchDivider` / DataLoader
+(src/pdp/factorgraph/dataset.py). Two differences, both TPU-motivated:
+
+  * segments are padded up to geometric bucket shapes so XLA compiles a
+    handful of programs instead of one per ragged batch;
+  * generator mode can run with one fixed shape (steady-state training never
+    recompiles).
+
+The memory-driven segmentation heuristic itself is kept semantically: a
+macro-batch of `batch_size` instances is split so each segment satisfies
+limit >= max_edges_in_segment * hidden_dim * segment_size, with instances
+sorted by edge count descending (dataset.py:36-74), and the limit divided by
+`batch_replication` up front (dataset.py:95).
+"""
+
+import numpy as np
+
+from pdp_solver_tpu.fg.batch import FGBatch, pack_instances
+from pdp_solver_tpu.fg.jsonfmt import read_json_dataset
+
+
+def divide_batch(instances, limit, hidden_dim):
+    """Split one macro-batch into memory-bounded segments
+    (reference DynamicBatchDivider.divide, dataset.py:24-74)."""
+    edge_num = [inst[2].shape[1] for inst in instances]
+    max_e = max(edge_num)
+    if limit // max(max_e * hidden_dim, 1) >= len(instances):
+        return [instances]
+
+    order = sorted(range(len(instances)), reverse=True,
+                   key=lambda i: edge_num[i])
+    segments = []
+    i = 0
+    while i < len(order):
+        allowed = max(1, limit // (edge_num[order[i]] * hidden_dim))
+        segments.append([instances[j] for j in order[i:i + allowed]])
+        i += allowed
+    return segments
+
+
+class BatchLoader:
+    """Iterate packed (FGBatch, misc) pairs over a dataset or a generator.
+
+    dataset mode:   instances read once from a JSON-lines file (cached).
+    generator mode: `epoch_size` fresh instances per epoch; with
+                    `fixed_shape=True` every batch is padded to the same
+                    worst-case shape for a zero-recompile steady state.
+    """
+
+    def __init__(self, input_file=None, generator=None, epoch_size=0,
+                 batch_size=5000, limit=40000000, hidden_dim=3,
+                 batch_replication=1, shuffle=False, granularity=2.0,
+                 fixed_shape=False, seed=0):
+        self._generator = generator
+        self._epoch_size = epoch_size
+        self._batch_size = batch_size
+        self._limit = limit // max(batch_replication, 1)
+        self._hidden_dim = max(hidden_dim, 1)
+        self._shuffle = shuffle
+        self._granularity = granularity
+        self._fixed_shape = fixed_shape
+        self._rng = np.random.default_rng(seed)
+        self._instances = None
+        if input_file is not None:
+            self._instances = read_json_dataset(input_file)
+
+    def __len__(self):
+        n = self._epoch_size if self._generator is not None \
+            else len(self._instances)
+        return max(1, -(-n // self._batch_size))
+
+    def _iter_instances(self):
+        if self._generator is not None:
+            for _ in range(self._epoch_size):
+                yield self._generator.generate() + ((),)  # no misc
+        else:
+            idx = np.arange(len(self._instances))
+            if self._shuffle:
+                self._rng.shuffle(idx)
+            for i in idx:
+                yield self._instances[i]
+
+    def _fixed_dims(self):
+        v, f, e = self._generator.max_dims()
+        b = self._batch_size
+        cap = self._limit // max(e * self._hidden_dim, 1)
+        b = max(1, min(b, cap)) if cap > 0 else 1
+        return v * b, f * b, e * b, b
+
+    def __iter__(self):
+        macro = []
+        fixed = self._fixed_dims() if (self._fixed_shape and
+                                       self._generator is not None) else None
+        for inst in self._iter_instances():
+            macro.append(inst)
+            if len(macro) >= self._batch_size:
+                yield from self._emit(macro, fixed)
+                macro = []
+        if macro:
+            yield from self._emit(macro, fixed)
+
+    def _emit(self, macro, fixed):
+        if fixed is not None:
+            pv, pf, pe, pb = fixed
+            # greedy fill below the fixed caps
+            seg, sv = [], [0, 0, 0]
+            for inst in macro:
+                d = (inst[0], inst[1], inst[2].shape[1])
+                if seg and (sv[0] + d[0] > pv or sv[1] + d[1] > pf
+                            or sv[2] + d[2] > pe or len(seg) >= pb):
+                    yield self._pack(seg, pv, pf, pe, pb)
+                    seg, sv = [], [0, 0, 0]
+                seg.append(inst)
+                sv = [sv[0] + d[0], sv[1] + d[1], sv[2] + d[2]]
+            if seg:
+                yield self._pack(seg, pv, pf, pe, pb)
+        else:
+            for seg in divide_batch(macro, self._limit, self._hidden_dim):
+                yield self._pack(seg, None, None, None, None)
+
+    def _pack(self, seg, pv, pf, pe, pb):
+        misc = [inst[5] if len(inst) > 5 else () for inst in seg]
+        batch = pack_instances(seg, pad_v=pv, pad_f=pf, pad_e=pe, pad_b=pb,
+                               bucket=True, granularity=self._granularity)
+        return batch, misc

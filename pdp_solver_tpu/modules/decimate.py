@@ -1,0 +1,251 @@
+"""Decimators (reference src/pdp/nn/pdp_decimate.py).
+
+Three flavours:
+  NeuralDecimator     - per-edge GRU cells over the propagator messages
+  SequentialDecimator - greedy: per instance, once messages converge (or time
+                        out), fix the max-|score| variable and re-simplify
+  ReinforceDecimator  - concurrent: stochastically overwrite the external
+                        force with the sign of each variable's score
+
+The sequential/reinforce decimators are stateful across iterations; their
+state is an explicit pytree threaded through the solver loop (no Python-side
+mutation, no host syncs - everything the reference did with `.sum() > 0`
+branches becomes masked updates / `lax.cond`).
+"""
+
+from dataclasses import dataclass
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pdp_solver_tpu.fg.batch import FGBatch
+from pdp_solver_tpu.modules import common, mlp
+from pdp_solver_tpu.modules.common import col
+from pdp_solver_tpu.ops import segment_smooth_max
+from pdp_solver_tpu.ops.segment import (
+    segment_argmax_first, segment_max_shifted)
+from pdp_solver_tpu.ops import segment_sum
+from pdp_solver_tpu.problem.simplify import set_variables
+from pdp_solver_tpu.problem.state import ProblemState
+
+
+# --------------------------------------------------------------------------
+# Neural decimator
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class NeuralDecimatorConfig:
+    var_message_dim: int
+    fn_message_dim: int
+    meta_dim: int
+    hidden_dim: int
+    edge_dim: int
+    dropout: float
+
+
+def neural_decimator_init(rng, cfg: NeuralDecimatorConfig):
+    r1, r2 = jax.random.split(rng)
+    return {
+        "var_gru": mlp.gru_cell_init(
+            r1, cfg.var_message_dim + cfg.edge_dim + cfg.meta_dim,
+            cfg.hidden_dim),
+        "fn_gru": mlp.gru_cell_init(
+            r2, cfg.fn_message_dim + cfg.edge_dim + cfg.meta_dim,
+            cfg.hidden_dim),
+    }
+
+
+def neural_decimator_apply(params, cfg: NeuralDecimatorConfig, batch: FGBatch,
+                           dec_state, message_state, active_edge):
+    """Reference pdp_decimate.py:51-87: two GRU cells over persistent edge
+    states, frozen for instances that have terminated."""
+    old_var, old_fn = dec_state
+    msg_var, msg_fn = message_state
+    feat = col(batch.edge_sign)
+    mask = col(active_edge)
+
+    v_in = jnp.concatenate([msg_var, feat], axis=1)
+    var_state = (mask * mlp.gru_cell_apply(params["var_gru"], v_in, old_var)
+                 + (1.0 - mask) * old_var)
+
+    f_in = jnp.concatenate([msg_fn, feat], axis=1)
+    fn_state = (mask * mlp.gru_cell_apply(params["fn_gru"], f_in, old_fn)
+                + (1.0 - mask) * old_fn)
+
+    return var_state, fn_state
+
+
+def neural_decimator_init_state(rng, cfg: NeuralDecimatorConfig, num_edges,
+                                randomized):
+    if randomized:
+        r1, r2 = jax.random.split(rng)
+        v = 2.0 * jax.random.uniform(r1, (num_edges, cfg.hidden_dim)) - 1.0
+        f = 2.0 * jax.random.uniform(r2, (num_edges, cfg.hidden_dim)) - 1.0
+    else:
+        v = jnp.zeros((num_edges, cfg.hidden_dim), jnp.float32)
+        f = jnp.zeros((num_edges, cfg.hidden_dim), jnp.float32)
+    return v, f
+
+
+# --------------------------------------------------------------------------
+# Sequential (greedy) decimator
+# --------------------------------------------------------------------------
+
+class SeqDecimatorState(NamedTuple):
+    prev_eta: jnp.ndarray   # f32[E] - previous clause->var survey
+    counters: jnp.ndarray   # f32[B] - iterations since last decimation
+    has_prev: jnp.ndarray   # f32[]  - 0 on the first iteration
+
+
+def seq_decimator_init_state(num_edges, batch_size):
+    return SeqDecimatorState(
+        prev_eta=jnp.zeros(num_edges, jnp.float32),
+        counters=jnp.zeros(batch_size, jnp.float32),
+        has_prev=jnp.zeros((), jnp.float32))
+
+
+@dataclass(frozen=True)
+class SeqDecimatorConfig:
+    tolerance: float
+    t_max: float
+
+
+def sequential_decimator_apply(cfg: SeqDecimatorConfig,
+                               scorer_fn: Callable,
+                               batch: FGBatch,
+                               seq_state: SeqDecimatorState,
+                               message_state,
+                               problem: ProblemState,
+                               edge_mask,
+                               active_instances):
+    """Reference pdp_decimate.py:122-177, fully on-device.
+
+    Per iteration: (1) paramagnetic early-stop - zero the instance's active
+    flag when its max survey vanishes; (2) per-instance message-convergence
+    test (smooth-max over edges, max over vars) with a t_max timeout counter;
+    (3) converged instances fix their max-|score| variable to sign(score) and
+    the problem is re-simplified.
+
+    active_instances may be None (no termination tracking); returns
+    (new_seq_state, new_problem, new_active_instances).
+    """
+    V, B = batch.num_vars, batch.batch_size
+    eta = message_state[1][:, 0]
+
+    # (1) paramagnetic state check (pdp_decimate.py:127-133)
+    if active_instances is not None:
+        survey_v = segment_smooth_max(eta, batch.edge_var, V,
+                                      valid=batch.edge_mask)
+        survey_v = survey_v * problem.active_vars
+        survey_b = segment_max_shifted(survey_v, batch.var_batch, B,
+                                       valid=batch.var_mask)
+        active_instances = jnp.where(survey_b <= 1e-10, 0.0, active_instances)
+
+    # gate: skip decimation on the first iteration or when nothing is active
+    # (reference pdp_decimate.py:135 `if previous is not None and sum > 0`)
+    gate = seq_state.has_prev * (jnp.sum(problem.active_vars) > 0)
+
+    # (2) convergence measure (pdp_decimate.py:136-150)
+    diff = jnp.abs(seq_state.prev_eta - eta) * edge_mask
+    diff_v = segment_smooth_max(diff, batch.edge_var, V, valid=batch.edge_mask)
+    diff_v = diff_v * problem.active_vars
+    diff_b = segment_max_shifted(diff_v, batch.var_batch, B,
+                                 valid=batch.var_mask)
+
+    converged = (diff_b < cfg.tolerance).astype(jnp.float32)
+    counters = jnp.where(converged > 0, 0.0, seq_state.counters)
+    timeout = (counters >= cfg.t_max).astype(jnp.float32)
+    flag_b = jnp.maximum(converged, timeout)
+    counters = jnp.where(timeout > 0, 0.0, counters)
+    counters = counters + 1.0
+    # all counter/flag effects only apply behind the gate
+    counters = gate * counters + (1.0 - gate) * seq_state.counters
+    flag_b = flag_b * gate
+
+    # (3) greedy decimation (pdp_decimate.py:152-171)
+    score = scorer_fn(message_state, problem)[:, 0]          # [V]
+    coeff = jnp.abs(score) * problem.active_vars * flag_b[batch.var_batch]
+    max_ind = segment_argmax_first(coeff, batch.var_batch, B,
+                                   valid=batch.var_mask)
+    norm_b = segment_sum(coeff, batch.var_batch, B)
+
+    decimate_b = flag_b * (norm_b != 0).astype(jnp.float32)
+    if active_instances is not None:
+        decimate_b = decimate_b * active_instances
+
+    sel = jnp.logical_and(
+        jnp.arange(V, dtype=jnp.int32) == max_ind[batch.var_batch],
+        decimate_b[batch.var_batch] > 0)
+    assignment = jnp.where(sel, jnp.sign(score), 0.0)
+
+    problem = jax.lax.cond(
+        jnp.sum(decimate_b) > 0,
+        lambda p: set_variables(batch, p, assignment),
+        lambda p: p,
+        problem)
+
+    new_state = SeqDecimatorState(prev_eta=eta, counters=counters,
+                                  has_prev=jnp.ones_like(seq_state.has_prev))
+    return new_state, problem, active_instances
+
+
+# --------------------------------------------------------------------------
+# REINFORCE (concurrent) decimator
+# --------------------------------------------------------------------------
+
+class ReinforceDecimatorState(NamedTuple):
+    prev_eta: jnp.ndarray  # f32[E]
+    has_prev: jnp.ndarray  # f32[]
+
+
+def reinforce_decimator_init_state(num_edges):
+    return ReinforceDecimatorState(
+        prev_eta=jnp.zeros(num_edges, jnp.float32),
+        has_prev=jnp.zeros((), jnp.float32))
+
+
+@dataclass(frozen=True)
+class ReinforceDecimatorConfig:
+    decimation_probability: float = 0.5
+
+
+def reinforce_decimator_apply(cfg: ReinforceDecimatorConfig,
+                              scorer_fn: Callable,
+                              rng,
+                              batch: FGBatch,
+                              rf_state: ReinforceDecimatorState,
+                              message_state,
+                              problem: ProblemState,
+                              edge_mask,
+                              active_instances,
+                              active_edge):
+    """Reference pdp_decimate.py:202-234: with probability p, overwrite the
+    per-edge external force with the sign of the variable's SP bias;
+    convergence (delta <= 0.01) deactivates instances."""
+    V, B = batch.num_vars, batch.batch_size
+    var_msg, fn_msg = message_state
+    eta = fn_msg[:, 0]
+
+    if active_instances is not None:
+        gate = rf_state.has_prev * (jnp.sum(problem.active_vars) > 0)
+        diff = jnp.abs(rf_state.prev_eta - eta) * edge_mask
+        diff_v = segment_smooth_max(diff, batch.edge_var, V,
+                                    valid=batch.edge_mask)
+        diff_v = diff_v * problem.active_vars
+        diff_b = segment_max_shifted(diff_v, batch.var_batch, B,
+                                     valid=batch.var_mask)
+        deactivate = jnp.logical_and(diff_b <= 0.01, gate > 0)
+        active_instances = jnp.where(deactivate, 0.0, active_instances)
+
+    coin = jax.random.uniform(rng) < cfg.decimation_probability
+    score = scorer_fn(message_state, problem)               # [V,1]
+    score_e = jnp.sign(score[:, 0])[batch.edge_var]
+    mask_e = active_edge
+    new_force = mask_e * score_e + (1.0 - mask_e) * fn_msg[:, 1]
+    force = jnp.where(coin, new_force, fn_msg[:, 1])
+    fn_out = fn_msg.at[:, 1].set(force)
+
+    new_state = ReinforceDecimatorState(prev_eta=eta,
+                                        has_prev=jnp.ones_like(rf_state.has_prev))
+    return new_state, (var_msg, fn_out), active_instances

@@ -1,0 +1,165 @@
+"""Predictors and scorers (reference src/pdp/nn/pdp_predict.py).
+
+Every predictor returns (variable_prediction [V,1] | None, function_prediction
+| None). Scorers return a per-variable bias in [-1, 1].
+"""
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from pdp_solver_tpu.fg.batch import FGBatch
+from pdp_solver_tpu.modules import common, mlp
+from pdp_solver_tpu.modules.common import col
+from pdp_solver_tpu.ops import safe_log, safe_exp
+from pdp_solver_tpu.ops.segment import LOG_EPS_SCORE
+
+
+@dataclass(frozen=True)
+class NeuralPredictorConfig:
+    decimator_dim: int
+    prediction_dim: int
+    edge_dim: int
+    meta_dim: int
+    mem_hidden_dim: int
+    agg_hidden_dim: int
+    mem_agg_hidden_dim: int
+    classifier_dim: int
+    classifier_kind: str = "sigmoid"  # 'sigmoid' (Perceptron) | 'tanh'
+
+    def aggregator_cfg(self):
+        return mlp.AggregatorConfig(
+            input_dim=self.decimator_dim + self.edge_dim + self.meta_dim,
+            output_dim=self.decimator_dim,
+            mem_hidden_dim=self.mem_hidden_dim,
+            mem_agg_hidden_dim=self.mem_agg_hidden_dim,
+            agg_hidden_dim=self.agg_hidden_dim,
+            feature_dim=0,
+            include_self=True)
+
+
+def neural_predictor_init(rng, cfg: NeuralPredictorConfig):
+    r1, r2 = jax.random.split(rng)
+    return {
+        "var_agg": mlp.aggregator_init(r1, cfg.aggregator_cfg()),
+        "classifier": mlp.perceptron_init(
+            r2, cfg.decimator_dim, cfg.classifier_dim, cfg.prediction_dim),
+    }
+
+
+def neural_predictor_apply(params, cfg: NeuralPredictorConfig, batch: FGBatch,
+                           dec_state, edge_mask):
+    """Aggregate-with-self over decimator var states -> per-variable classifier
+    (reference pdp_predict.py:49-91; the function-classifier path is unused by
+    every reference config and solver, so only the variable path exists)."""
+    dec_var, _ = dec_state
+    feat = col(batch.edge_sign)
+    agg_in = jnp.concatenate([dec_var, feat], axis=1)
+    agg_v = mlp.aggregator_apply(params["var_agg"], cfg.aggregator_cfg(),
+                                 batch, agg_in, None, "var", edge_mask)
+    if cfg.classifier_kind == "tanh":
+        pred = mlp.perceptron_tanh_apply(params["classifier"], agg_v)
+    else:
+        pred = mlp.perceptron_apply(params["classifier"], agg_v)
+    return pred, None
+
+
+def identity_predictor_apply(rng, problem, random_fill, last_call):
+    """Reads the decimated solution; optionally fills still-active variables
+    with uniform noise on the last call (reference pdp_predict.py:110-128)."""
+    pred = problem.solution[:, None]
+    if random_fill and last_call:
+        noise = jax.random.uniform(rng, pred.shape)
+        pred = jnp.where(col(problem.active_vars) > 0, noise, pred)
+    return pred, None
+
+
+@dataclass(frozen=True)
+class SurveyScorerConfig:
+    message_dim: int = 1
+    include_adaptors: bool = False
+    pi: float = 0.0
+
+
+def survey_scorer_init(rng, cfg: SurveyScorerConfig):
+    if not cfg.include_adaptors:
+        return {}
+    return {"proj": mlp.linear_init(rng, cfg.message_dim, 2, bias=False)}
+
+
+def survey_scorer_apply(params, cfg: SurveyScorerConfig, batch: FGBatch,
+                        message_state, problem):
+    """SP marginal bias q1 - q0 per variable (reference pdp_predict.py:155-192),
+    with the numeric bias-shift trick and the 1e-10 log clamp."""
+    _, fn_msg = message_state
+
+    if cfg.include_adaptors:
+        proj = mlp.linear_apply(params["proj"], fn_msg)
+        eta = jax.nn.sigmoid(proj[:, 0:1])
+        force_e = jnp.sign(proj[:, 1:2])
+    else:
+        eta = fn_msg[:, 0:1]
+        force_e = fn_msg[:, 1:2]
+
+    external_force = jnp.sign(common.scatter_to_vars(batch, force_e))
+    fm = safe_log(1.0 - eta, LOG_EPS_SCORE)
+
+    # messages from deactivated clauses are excluded (pdp_predict.py:171-172)
+    edge_mask = (common.gather_from_clauses(batch, problem.active_clauses)
+                 * batch.edge_mask)
+    fm = fm * col(edge_mask)
+
+    pos_w = (batch.edge_sign == 1).astype(jnp.float32)
+    neg_w = (batch.edge_sign == -1).astype(jnp.float32)
+    pos = common.scatter_to_vars(batch, fm * col(pos_w)) + safe_log(
+        1.0 - cfg.pi * (external_force == 1).astype(jnp.float32),
+        LOG_EPS_SCORE)
+    neg = common.scatter_to_vars(batch, fm * col(neg_w)) + safe_log(
+        1.0 - cfg.pi * (external_force == -1).astype(jnp.float32),
+        LOG_EPS_SCORE)
+
+    pns = pos + neg
+    dont_care = common.scatter_to_vars(batch, fm) + safe_log(
+        jnp.asarray(1.0 - cfg.pi, jnp.float32), LOG_EPS_SCORE)
+
+    bias = (2.0 * pns + dont_care) / 4.0
+    pos = pos - bias
+    neg = neg - bias
+    pns = pns - bias
+    dont_care = safe_exp(dont_care - bias)
+
+    q_0 = safe_exp(pos) - safe_exp(pns)
+    q_1 = safe_exp(neg) - safe_exp(pns)
+    total = safe_log(q_0 + q_1 + dont_care, LOG_EPS_SCORE)
+
+    score = (safe_exp(safe_log(q_1, LOG_EPS_SCORE) - total)
+             - safe_exp(safe_log(q_0, LOG_EPS_SCORE) - total))
+    return score, None
+
+
+def reinforce_predictor_apply(batch: FGBatch, dec_state):
+    """sign of the per-variable sum of external forces
+    (reference pdp_predict.py:214-226)."""
+    _, fn_state = dec_state
+    force = fn_state[:, 1:2]
+    pred = (common.scatter_to_vars(batch, force) > 0).astype(jnp.float32)
+    return pred, None
+
+
+def scorer_message_init_state(rng, num_edges, randomized):
+    """SurveyScorer.get_init_state (pdp_predict.py:194-208): the message-shaped
+    state the sequential decimator hands back to the SP propagator. Note the
+    randomized variable state is NOT normalised here, unlike the propagator's
+    own init (the reference keeps that line commented out)."""
+    if randomized:
+        r1, r2 = jax.random.split(rng)
+        v = jax.random.uniform(r1, (num_edges, 3))
+        f = jax.random.uniform(r2, (num_edges, 2))
+        f = f.at[:, 1].set(0.0)
+    else:
+        v = jnp.ones((num_edges, 3), jnp.float32) / 3.0
+        f = 0.5 * jnp.ones((num_edges, 2), jnp.float32)
+        f = f.at[:, 1].set(0.0)
+    return v, f

@@ -1,0 +1,68 @@
+"""Unsupervised energy loss and hard CNF verification.
+
+Ports of reference `SatLossEvaluator` (src/pdp/nn/util.py:113-197) and
+`SatCNFEvaluator` (util.py:203-236) onto the packed edge list. The loss is the
+temperature-annealed smooth-max relaxation of clause satisfaction: fully
+differentiable, minimised without labels.
+"""
+
+import jax.numpy as jnp
+
+from pdp_solver_tpu.fg.batch import FGBatch
+from pdp_solver_tpu.modules import common
+from pdp_solver_tpu.modules.common import col
+from pdp_solver_tpu.ops import segment_sum
+
+LOSS_EPS = 1e-8          # reference trainer.py:42
+MAX_COEFF = 10.0         # reference trainer.py:46
+
+
+def literal_values(batch: FGBatch, variable_prediction):
+    """Per-edge satisfaction probability of each literal (util.py:187-188):
+    sign * p + (1 - sign)/2 -> p for positive literals, 1-p for negated."""
+    p_e = variable_prediction[batch.edge_var, 0]
+    return batch.edge_sign * p_e + (1.0 - batch.edge_sign) / 2.0
+
+
+def energy_loss(batch: FGBatch, variable_prediction, global_step,
+                exploration_alpha, loss_sharpness,
+                eps=LOSS_EPS, max_coeff=MAX_COEFF):
+    """Annealed smooth-max energy (util.py:178-197).
+
+    coeff = min(step^alpha, max_coeff) sharpens the per-clause soft-max of
+    literal values as training progresses; kappa = loss_sharpness powers the
+    clause deficit. Mean over real clauses only (padding is masked, which the
+    ragged reference never needed).
+    """
+    F = batch.num_clauses
+    coeff = jnp.minimum(jnp.power(global_step, exploration_alpha), max_coeff)
+
+    ev = literal_values(batch, variable_prediction) * batch.edge_mask
+    weights = jnp.exp(coeff * ev) * batch.edge_mask
+
+    nom = segment_sum(weights * ev, batch.edge_clause, F,
+                      indices_are_sorted=True)
+    den = segment_sum(weights, batch.edge_clause, F, indices_are_sorted=True)
+
+    clause_value = den / jnp.maximum(nom, eps)
+    clause_value = 1.0 + jnp.power(clause_value - 1.0, loss_sharpness)
+    log_v = jnp.log(jnp.maximum(clause_value, eps)) * batch.clause_mask
+    return jnp.sum(log_v) / jnp.maximum(jnp.sum(batch.clause_mask), 1.0)
+
+
+def cnf_evaluate(batch: FGBatch, variable_prediction):
+    """Hard verification (util.py:203-236): threshold the prediction, count
+    satisfied clauses per instance. Returns (solved f32[B], unsat_count f32[B]).
+    Padding instances report solved=1/unsat=0; gate with batch.instance_mask."""
+    F, B = batch.num_clauses, batch.batch_size
+
+    ev = (literal_values(batch, variable_prediction) > 0.5).astype(jnp.float32)
+    ev = ev * batch.edge_mask
+    clause_sat = (segment_sum(ev, batch.edge_clause, F,
+                              indices_are_sorted=True) > 0).astype(jnp.float32)
+    clause_sat = clause_sat * batch.clause_mask
+
+    max_sat = segment_sum(batch.clause_mask, batch.clause_batch, B)
+    got_sat = segment_sum(clause_sat, batch.clause_batch, B)
+    solved = (max_sat == got_sat).astype(jnp.float32)
+    return solved, max_sat - got_sat

@@ -2,16 +2,17 @@
 
 This is the JAX-native "fake backend" pattern (SURVEY.md section 4): multi-chip
 sharding logic is validated without TPUs by splitting the host CPU into 8 XLA
-devices. Must run before the first `import jax` anywhere in the test session.
+devices.
+
+NOTE: the environment may pre-import jax with a TPU platform pinned via
+sitecustomize, so setting JAX_PLATFORMS in os.environ here is too late;
+jax.config.update still works because no backend has been initialised yet.
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

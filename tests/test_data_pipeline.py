@@ -1,0 +1,121 @@
+"""Tests for generators, DIMACS/JSON IO and the batch loader."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pdp_solver_tpu.fg.dimacs import (
+    parse_dimacs, compact, clauses_to_instance, label_from_filename,
+    write_dimacs)
+from pdp_solver_tpu.fg.generators import (
+    UniformCNFGenerator, ModularCNFGenerator, VariableModularCNFGenerator,
+    make_generator)
+from pdp_solver_tpu.fg.jsonfmt import (
+    parse_line, clauses_to_line, read_json_dataset)
+from pdp_solver_tpu.fg.loader import BatchLoader, divide_batch
+from tests.helpers import cnf_instance
+
+
+def _valid_instance(inst):
+    n, m, gmap, signs, label = inst[:5]
+    assert gmap.shape[0] == 2
+    assert gmap.shape[1] == signs.shape[0]
+    assert gmap[0].max() < n and gmap[0].min() >= 0
+    assert gmap[1].max() == m - 1 and gmap[1].min() == 0
+    assert set(np.unique(signs)) <= {-1.0, 1.0}
+    # no duplicate variable inside one clause
+    for c in range(m):
+        vs = gmap[0][gmap[1] == c]
+        assert len(vs) == len(set(vs.tolist()))
+
+
+def test_uniform_generator_wellformed():
+    g = UniformCNFGenerator(10, 30, 2, 4, 2.0, 4.0, seed=1)
+    for _ in range(20):
+        _valid_instance(g.generate())
+
+
+def test_modular_generators_wellformed():
+    g = ModularCNFGenerator(3, 20, 50, 0.7, 0.9, 3, 6, 2.0, 3.0, seed=2)
+    for _ in range(10):
+        _valid_instance(g.generate())
+    g2 = VariableModularCNFGenerator(2, 4, 20, 50, 0.7, 0.9, 3, 6, 2.0, 3.0,
+                                     seed=3)
+    for _ in range(10):
+        _valid_instance(g2.generate())
+
+
+def test_make_generator_from_config():
+    cfg = {"generator": "uniform", "min_n": 4, "max_n": 10, "min_k": 2,
+           "max_k": 3, "min_alpha": 2, "max_alpha": 4}
+    g = make_generator(cfg, seed=0)
+    _valid_instance(g.generate())
+
+
+def test_json_roundtrip(tmp_path):
+    clauses = [[1, -2], [2, 3], [-1]]
+    line = clauses_to_line(3, clauses, 1.0, ["id0"])
+    n, m, gmap, signs, label, misc = parse_line(line)
+    assert (n, m) == (3, 3) and label == 1.0 and misc == ["id0"]
+    np.testing.assert_array_equal(gmap[0], [0, 1, 1, 2, 0])
+    np.testing.assert_array_equal(signs, [1, -1, 1, 1, -1])
+
+    p = tmp_path / "data.json"
+    p.write_text(line + "\n" + clauses_to_line(2, [[1, 2]], 0.0) + "\n")
+    rows = read_json_dataset(str(p))
+    assert len(rows) == 2 and rows[1][0] == 2
+
+
+def test_dimacs_roundtrip(tmp_path):
+    p = tmp_path / "f_sat=1.cnf"
+    write_dimacs(str(p), 3, [[1, -2], [2, 3]])
+    n, m, clauses = parse_dimacs(str(p))
+    assert (n, m) == (3, 2)
+    assert clauses == [[1, -2], [2, 3]]
+    assert label_from_filename(str(p)) == 1.0
+
+
+def test_compact_drops_unused_and_subsumed():
+    # var 3 unused; clause [1,-2,4] subsumed by [1,-2]
+    n, clauses = compact(4, [[1, -2], [1, -2, 4], []], propagate=True)
+    assert clauses == [[1, -2]]
+    assert n == 2
+
+
+def test_divide_batch_memory_limit():
+    insts = [cnf_instance(4, [[1, 2], [3, 4]]),          # 4 edges
+             cnf_instance(10, [[1, 2, 3]] * 6),          # 18 edges
+             cnf_instance(3, [[1]])]                     # 1 edge
+    # limit forces the 18-edge instance alone: 18*h*2 > limit >= 18*h
+    segs = divide_batch(insts, limit=20 * 3, hidden_dim=3)
+    sizes = sorted(len(s) for s in segs)
+    assert sizes == [1, 2]
+
+
+def test_loader_dataset_mode(tmp_path):
+    lines = [clauses_to_line(3, [[1, -2], [2, 3]], -1.0, [f"i{i}"])
+             for i in range(7)]
+    p = tmp_path / "ds.json"
+    p.write_text("\n".join(lines) + "\n")
+    loader = BatchLoader(input_file=str(p), batch_size=3, limit=10 ** 6,
+                         hidden_dim=3)
+    batches = list(loader)
+    assert len(batches) == 3  # 3+3+1
+    total = sum(int(np.asarray(b.instance_mask).sum()) for b, _ in batches)
+    assert total == 7
+    assert batches[0][1][0] == ["i0"]
+
+
+def test_loader_generator_fixed_shape():
+    g = UniformCNFGenerator(5, 10, 2, 3, 2.0, 3.0, seed=0)
+    loader = BatchLoader(generator=g, epoch_size=12, batch_size=4,
+                         limit=10 ** 6, hidden_dim=8, fixed_shape=True)
+    shapes = set()
+    total = 0
+    for batch, _ in loader:
+        shapes.add((batch.num_vars, batch.num_clauses, batch.num_edges,
+                    batch.batch_size))
+        total += int(np.asarray(batch.instance_mask).sum())
+    assert len(shapes) == 1  # steady state: one compiled program
+    assert total == 12

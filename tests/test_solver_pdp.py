@@ -1,0 +1,108 @@
+"""End-to-end tests: classical solvers on random 3-SAT.
+
+Mirrors the reference's implicit quality bar (SURVEY.md section 4): produced
+assignments are verified against the formula; below the clustering threshold
+(alpha ~ 3.9 for 3-SAT) SP-guided decimation + WalkSAT should solve nearly
+everything.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pdp_solver_tpu.fg.batch import pack_instances
+from pdp_solver_tpu.solvers import SolverConfig, PDPSolver
+from pdp_solver_tpu.train.loss import cnf_evaluate
+from tests.helpers import cnf_instance, check_assignment, random_ksat
+
+
+def _solve(solver, batch, iters, rng_seed=0, replication=1):
+    rng = jax.random.PRNGKey(rng_seed)
+    r_init, r_fwd = jax.random.split(rng)
+    state = solver.get_init_state(r_init, batch, randomized=True,
+                                  replication=replication)
+    fwd = jax.jit(lambda p, r, b, s: solver.forward(
+        p, r, b, s, iters, is_training=False, check_termination=True,
+        replication=replication))
+    params = solver.init_params(jax.random.PRNGKey(42))
+    (pred, _), _ = fwd(params, r_fwd, batch, state)
+    return np.asarray(pred)[:, 0]
+
+
+def _make_batch(rng, n_instances, n, alpha, k=3):
+    clause_lists, insts = [], []
+    for _ in range(n_instances):
+        clauses = random_ksat(rng, n, int(n * alpha), k)
+        clause_lists.append(clauses)
+        insts.append(cnf_instance(n, clauses))
+    return pack_instances(insts), clause_lists, insts
+
+
+def _solved_fraction(batch, insts, clause_lists, pred):
+    v_off = 0
+    solved = 0
+    for inst, clauses in zip(insts, clause_lists):
+        n = inst[0]
+        if check_assignment(clauses, pred[v_off:v_off + n]):
+            solved += 1
+        v_off += n
+    return solved / len(insts)
+
+
+def test_pdp_sp_solver_on_easy_3sat(rng):
+    batch, clause_lists, insts = _make_batch(rng, 10, 30, 3.0)
+    solver = PDPSolver(SolverConfig(
+        model_type="p-d-p", tolerance=0.02, t_max=100,
+        local_search_iterations=100, epsilon=0.5))
+    pred = _solve(solver, batch, iters=300)
+    frac = _solved_fraction(batch, insts, clause_lists, pred)
+    assert frac >= 0.8, f"solved fraction {frac} too low"
+
+
+def test_pdp_solution_consistency_with_evaluator(rng):
+    # cnf_evaluate must agree with the python-side checker
+    batch, clause_lists, insts = _make_batch(rng, 6, 20, 3.0)
+    solver = PDPSolver(SolverConfig(
+        model_type="p-d-p", tolerance=0.02, t_max=100,
+        local_search_iterations=50, epsilon=0.5))
+    pred = _solve(solver, batch, iters=200)
+    solved_dev, unsat_dev = jax.jit(cnf_evaluate)(
+        batch, jnp.asarray(pred)[:, None])
+    v_off = 0
+    for b, (inst, clauses) in enumerate(zip(insts, clause_lists)):
+        n = inst[0]
+        py_ok = check_assignment(clauses, pred[v_off:v_off + n])
+        assert bool(np.asarray(solved_dev)[b] == 1.0) == py_ok
+        v_off += n
+
+
+def test_walksat_solver_on_easy_3sat(rng):
+    batch, clause_lists, insts = _make_batch(rng, 8, 20, 2.5)
+    solver = PDPSolver(SolverConfig(
+        model_type="walk-sat", local_search_iterations=500, epsilon=0.5))
+    pred = _solve(solver, batch, iters=0)
+    frac = _solved_fraction(batch, insts, clause_lists, pred)
+    assert frac >= 0.8, f"solved fraction {frac} too low"
+
+
+def test_reinforce_solver_runs(rng):
+    batch, clause_lists, insts = _make_batch(rng, 4, 20, 2.5)
+    solver = PDPSolver(SolverConfig(
+        model_type="reinforce", pi=0.01, decimation_probability=0.5,
+        local_search_iterations=200, epsilon=0.5))
+    pred = _solve(solver, batch, iters=100)
+    frac = _solved_fraction(batch, insts, clause_lists, pred)
+    assert frac >= 0.5, f"solved fraction {frac} too low"
+
+
+def test_batch_replication_dedup_shapes(rng):
+    batch, clause_lists, insts = _make_batch(rng, 4, 15, 2.5)
+    solver = PDPSolver(SolverConfig(
+        model_type="p-d-p", tolerance=0.02, t_max=100,
+        local_search_iterations=50, epsilon=0.5))
+    pred = _solve(solver, batch, iters=100, replication=3)
+    # de-duplicated prediction must come back at original size
+    assert pred.shape[0] == batch.num_vars
+    frac = _solved_fraction(batch, insts, clause_lists, pred)
+    assert frac >= 0.75
