@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Headline benchmark: classical SP-guided decimation on uniform random 4-SAT.
+
+Runs the full p-d-p solve (SP propagation + sequential decimation +
+simplification + termination + WalkSAT) on the shared deterministic 4-SAT set
+(BASELINE.json config #1/#5 operating point) on whatever accelerator JAX
+reports, and prints ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+vs_baseline compares against the measured reference implementation (torch,
+CPU - the repo ships no GPU and publishes no numbers; see
+tools/measure_reference.py and baselines/reference_measured.json).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pdp_solver_tpu.fg.batch import pack_instances
+    from pdp_solver_tpu.solvers import SolverConfig, PDPSolver
+    from pdp_solver_tpu.train.loss import cnf_evaluate
+    from pdp_solver_tpu.utils.benchdata import (
+        make_ksat_set, dataset_fingerprint)
+
+    iters = int(os.environ.get("BENCH_ITERS", "1000"))
+    ls_iters = int(os.environ.get("BENCH_LS_ITERS", "1000"))
+
+    insts = make_ksat_set()
+    total_edges = sum(i[2].shape[1] for i in insts)
+    count = len(insts)
+    batch = pack_instances(insts)
+
+    solver = PDPSolver(SolverConfig(
+        model_type="p-d-p", tolerance=0.02, t_max=100,
+        local_search_iterations=ls_iters, epsilon=0.5))
+
+    def solve(rng, batch, state, n_iters):
+        (pred, _), _ = solver.forward(
+            {}, rng, batch, state, n_iters,
+            is_training=False, check_termination=True)
+        return pred
+
+    key = jax.random.PRNGKey(0)
+    r_state, r_fwd = jax.random.split(key)
+    state = solver.get_init_state(r_state, batch, randomized=True)
+
+    fwd = jax.jit(solve, static_argnames="n_iters")
+    # warm-up / compile (cached afterwards)
+    t0 = time.time()
+    jax.block_until_ready(fwd(r_fwd, batch, state, iters))
+    compile_and_first = time.time() - t0
+
+    # timed full solve
+    t0 = time.time()
+    pred = jax.block_until_ready(fwd(r_fwd, batch, state, iters))
+    wall = time.time() - t0
+
+    solved_v, _ = cnf_evaluate(batch, pred)
+    solved = int(np.asarray(solved_v * batch.instance_mask).sum())
+
+    # per-iteration slope without early termination (isolates the PDP
+    # iteration cost from setup/walksat; every iteration actually executes)
+    def solve_fixed(rng, batch, state, n_iters):
+        (pred, _), _ = solver.forward(
+            {}, rng, batch, state, n_iters,
+            is_training=False, check_termination=False)
+        return pred
+
+    fwd_fixed = jax.jit(solve_fixed, static_argnames="n_iters")
+    lo, hi = 50, 250
+    jax.block_until_ready(fwd_fixed(r_fwd, batch, state, lo))   # compile
+    jax.block_until_ready(fwd_fixed(r_fwd, batch, state, hi))
+    t0 = time.time()
+    jax.block_until_ready(fwd_fixed(r_fwd, batch, state, lo))
+    wall_lo = time.time() - t0
+    t0 = time.time()
+    jax.block_until_ready(fwd_fixed(r_fwd, batch, state, hi))
+    wall_hi = time.time() - t0
+    per_iter = max((wall_hi - wall_lo) / (hi - lo), 1e-9)
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "baselines", "reference_measured.json")
+    ref = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            ref = json.load(f)
+
+    value = count / wall
+    vs = value / ref["instances_per_sec"] if ref else float("nan")
+
+    print(json.dumps({
+        "metric": "pdp_4sat_solve_instances_per_sec",
+        "value": round(value, 3),
+        "unit": "instances/s",
+        "vs_baseline": round(vs, 2) if ref else None,
+        "solved_fraction": solved / count,
+        "ref_solved_fraction": ref["solved_fraction"] if ref else None,
+        "edge_updates_per_sec": round(total_edges / per_iter),
+        "ref_edge_updates_per_sec": (round(ref["edge_updates_per_sec"])
+                                     if ref else None),
+        "iters": iters,
+        "wall_s": round(wall, 3),
+        "compile_s": round(compile_and_first - wall, 1),
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "dataset_fingerprint": dataset_fingerprint(insts),
+    }))
+
+
+if __name__ == "__main__":
+    main()

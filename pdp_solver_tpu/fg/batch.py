@@ -28,7 +28,15 @@ import jax.numpy as jnp
 
 
 class FGBatch(NamedTuple):
-    """A packed batch of CNF factor graphs (a valid JAX pytree)."""
+    """A packed batch of CNF factor graphs (a valid JAX pytree).
+
+    Besides the flat edge list, the batch carries ELL-format adjacency
+    tables (`var_edges` [V, DV], `clause_edges` [F, DC]; -1 padded): each
+    node's incident edge ids at fixed width. On TPU these turn every
+    scatter-add (XLA's slowest primitive) into a gather + dense reduction.
+    A zero-width table ([N, 0]) means "not built" (degree cap exceeded) and
+    ops fall back to segment scatters.
+    """
 
     edge_var: jnp.ndarray      # i32[E]
     edge_clause: jnp.ndarray   # i32[E]
@@ -40,6 +48,8 @@ class FGBatch(NamedTuple):
     clause_mask: jnp.ndarray   # f32[F]
     instance_mask: jnp.ndarray  # f32[B]
     label: jnp.ndarray         # f32[B]
+    var_edges: jnp.ndarray     # i32[V, DV] edge ids per variable, -1 pad
+    clause_edges: jnp.ndarray  # i32[F, DC] edge ids per clause, -1 pad
 
     @property
     def num_edges(self):
@@ -143,11 +153,40 @@ def pack_instances(instances: Sequence[tuple],
     clause_mask = (np.arange(pad_f) < f_off).astype(np.float32)
     instance_mask = (np.arange(pad_b) < n_inst).astype(np.float32)
 
+    var_edges = build_ell_table(edge_var[:e_off], pad_v)
+    clause_edges = build_ell_table(edge_clause[:e_off], pad_f)
+
     return FGBatch(
         edge_var=edge_var, edge_clause=edge_clause, edge_sign=edge_sign,
         var_batch=var_batch, clause_batch=clause_batch,
         edge_mask=edge_mask, var_mask=var_mask, clause_mask=clause_mask,
-        instance_mask=instance_mask, label=label)
+        instance_mask=instance_mask, label=label,
+        var_edges=var_edges, clause_edges=clause_edges)
+
+
+ELL_MAX_WIDTH = 512   # above this degree fall back to segment scatters
+ELL_ROUND = 8
+
+
+def build_ell_table(node_ids, num_nodes, max_width=ELL_MAX_WIDTH):
+    """Edge ids per node at fixed width (ELL), -1 padded; [num_nodes, 0] when
+    the max degree exceeds `max_width` (degenerate graphs)."""
+    counts = np.bincount(node_ids, minlength=num_nodes)
+    width = int(counts.max()) if counts.size else 0
+    if width > max_width:
+        return np.zeros((num_nodes, 0), dtype=np.int32)
+    width = max(ELL_ROUND, -(-width // ELL_ROUND) * ELL_ROUND)
+    table = np.full((num_nodes, width), -1, dtype=np.int32)
+    order = np.argsort(node_ids, kind="stable")
+    sorted_ids = node_ids[order]
+    if len(order):
+        # position of each edge within its node's contiguous run
+        new_run = np.r_[True, sorted_ids[1:] != sorted_ids[:-1]]
+        run_idx = np.cumsum(new_run) - 1
+        starts = np.flatnonzero(new_run)
+        pos = np.arange(len(order)) - starts[run_idx]
+        table[sorted_ids, pos] = order
+    return table
 
 
 def replicate_batch(batch: FGBatch, replication: int) -> FGBatch:
@@ -168,6 +207,11 @@ def replicate_batch(batch: FGBatch, replication: int) -> FGBatch:
     r_v = jnp.repeat(jnp.arange(R, dtype=jnp.int32), V)
     r_f = jnp.repeat(jnp.arange(R, dtype=jnp.int32), F)
 
+    def rep_table(table, num_rows):
+        t = jnp.tile(table, (R, 1))
+        off = jnp.repeat(jnp.arange(R, dtype=jnp.int32), num_rows)[:, None] * E
+        return jnp.where(t >= 0, t + off, -1)
+
     return FGBatch(
         edge_var=jnp.tile(batch.edge_var, R) + r_e * V,
         edge_clause=jnp.tile(batch.edge_clause, R) + r_e * F,
@@ -179,4 +223,6 @@ def replicate_batch(batch: FGBatch, replication: int) -> FGBatch:
         clause_mask=jnp.tile(batch.clause_mask, R),
         instance_mask=jnp.tile(batch.instance_mask, R),
         label=jnp.tile(batch.label, R),
+        var_edges=rep_table(batch.var_edges, V),
+        clause_edges=rep_table(batch.clause_edges, F),
     )

@@ -1,32 +1,89 @@
 """Shared graph-op helpers for P/D/P modules.
 
 Maps the reference's sparse-matrix products (src/pdp/nn/solver.py:151-178
-graph masks) onto gathers + segment reductions over the packed edge list.
+graph masks) onto the packed edge list. Two interchangeable backends:
+
+  scatter  jax.ops.segment_sum (XLA scatter-add). Reliable everywhere;
+           slow on TPU where scatter serialises.
+  ell      gather + dense reduction over the batch's fixed-width adjacency
+           tables (FGBatch.var_edges / clause_edges). No scatters at all -
+           the TPU-native path.
+
+Selection: env PDP_SEGMENT_BACKEND in {auto, ell, scatter}; auto picks ell
+on TPU when the batch carries tables (zero-width tables mean the degree cap
+was exceeded and scatter is used).
+
 All module-level feature tensors are 2-D [N, d]; masks are 1-D [N] and are
 broadcast with `col()`.
 """
+
+import os
 
 import jax
 import jax.numpy as jnp
 
 from pdp_solver_tpu.fg.batch import FGBatch
-from pdp_solver_tpu.ops import segment_sum
+from pdp_solver_tpu.ops import segment_sum, safe_exp
+
+# rough cap on the [N, chunk, d] gather intermediate in the ell backend
+_ELL_CHUNK_BUDGET = 64 * 1024 * 1024  # elements
 
 
 def col(mask_1d):
     return mask_1d[:, None]
 
 
+def _backend():
+    return os.environ.get("PDP_SEGMENT_BACKEND", "auto")
+
+
+def _use_ell(table):
+    mode = _backend()
+    if mode == "scatter":
+        return False
+    if table.shape[1] == 0:
+        return False
+    if mode == "ell":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def ell_sum(x_e, table):
+    """Sum edge rows into nodes via an ELL adjacency table.
+
+    x_e: [E] or [E, d]; table: [N, D] edge ids with -1 padding.
+    Chunked over D so the gathered intermediate stays bounded.
+    """
+    N, D = table.shape
+    scalar = x_e.ndim == 1
+    x2 = x_e[:, None] if scalar else x_e
+    d = x2.shape[1]
+    chunk = max(1, min(D, _ELL_CHUNK_BUDGET // max(N * d, 1)))
+
+    out = jnp.zeros((N, d), x2.dtype)
+    for start in range(0, D, chunk):
+        t = table[:, start:start + chunk]                  # [N, c]
+        vals = x2[jnp.maximum(t, 0)]                       # [N, c, d]
+        vals = vals * (t >= 0)[..., None].astype(x2.dtype)
+        out = out + vals.sum(axis=1)
+    return out[:, 0] if scalar else out
+
+
 def scatter_to_vars(batch: FGBatch, x_e):
     """mm(variable_mask [VxE], x): sum each variable's edge rows."""
-    return segment_sum(x_e * col(batch.edge_mask), batch.edge_var,
-                       batch.num_vars)
+    if _use_ell(batch.var_edges):
+        return ell_sum(x_e, batch.var_edges)
+    m = batch.edge_mask if x_e.ndim == 1 else col(batch.edge_mask)
+    return segment_sum(x_e * m, batch.edge_var, batch.num_vars)
 
 
 def scatter_to_clauses(batch: FGBatch, x_e):
-    """mm(function_mask [FxE], x): sum each clause's edge rows (sorted ids)."""
-    return segment_sum(x_e * col(batch.edge_mask), batch.edge_clause,
-                       batch.num_clauses, indices_are_sorted=True)
+    """mm(function_mask [FxE], x): sum each clause's edge rows."""
+    if _use_ell(batch.clause_edges):
+        return ell_sum(x_e, batch.clause_edges)
+    m = batch.edge_mask if x_e.ndim == 1 else col(batch.edge_mask)
+    return segment_sum(x_e * m, batch.edge_clause, batch.num_clauses,
+                       indices_are_sorted=True)
 
 
 def gather_from_vars(batch: FGBatch, x_v):
@@ -46,6 +103,16 @@ def aggregate_minus_self_var(batch: FGBatch, x_e):
 
 def aggregate_minus_self_clause(batch: FGBatch, x_e):
     return gather_from_clauses(batch, scatter_to_clauses(batch, x_e)) - x_e
+
+
+def var_smooth_max(batch: FGBatch, x_e, alpha=30.0):
+    """Per-variable smooth-max over incident edges
+    (reference sparse_smooth_max, util.py:282-286): x_e must already carry
+    any liveness mask; padding edges are excluded from both sums."""
+    coeff = safe_exp(alpha * x_e) * batch.edge_mask
+    num = scatter_to_vars(batch, x_e * coeff)
+    den = scatter_to_vars(batch, coeff)
+    return num / jnp.maximum(den, 1.0)
 
 
 def instances_to_edges(batch: FGBatch, x_b):

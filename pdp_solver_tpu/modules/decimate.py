@@ -22,7 +22,6 @@ import jax.numpy as jnp
 from pdp_solver_tpu.fg.batch import FGBatch
 from pdp_solver_tpu.modules import common, mlp
 from pdp_solver_tpu.modules.common import col
-from pdp_solver_tpu.ops import segment_smooth_max
 from pdp_solver_tpu.ops.segment import (
     segment_argmax_first, segment_max_shifted)
 from pdp_solver_tpu.ops import segment_sum
@@ -135,8 +134,7 @@ def sequential_decimator_apply(cfg: SeqDecimatorConfig,
 
     # (1) paramagnetic state check (pdp_decimate.py:127-133)
     if active_instances is not None:
-        survey_v = segment_smooth_max(eta, batch.edge_var, V,
-                                      valid=batch.edge_mask)
+        survey_v = common.var_smooth_max(batch, eta)
         survey_v = survey_v * problem.active_vars
         survey_b = segment_max_shifted(survey_v, batch.var_batch, B,
                                        valid=batch.var_mask)
@@ -148,7 +146,7 @@ def sequential_decimator_apply(cfg: SeqDecimatorConfig,
 
     # (2) convergence measure (pdp_decimate.py:136-150)
     diff = jnp.abs(seq_state.prev_eta - eta) * edge_mask
-    diff_v = segment_smooth_max(diff, batch.edge_var, V, valid=batch.edge_mask)
+    diff_v = common.var_smooth_max(batch, diff)
     diff_v = diff_v * problem.active_vars
     diff_b = segment_max_shifted(diff_v, batch.var_batch, B,
                                  valid=batch.var_mask)
@@ -230,8 +228,7 @@ def reinforce_decimator_apply(cfg: ReinforceDecimatorConfig,
     if active_instances is not None:
         gate = rf_state.has_prev * (jnp.sum(problem.active_vars) > 0)
         diff = jnp.abs(rf_state.prev_eta - eta) * edge_mask
-        diff_v = segment_smooth_max(diff, batch.edge_var, V,
-                                    valid=batch.edge_mask)
+        diff_v = common.var_smooth_max(batch, diff)
         diff_v = diff_v * problem.active_vars
         diff_b = segment_max_shifted(diff_v, batch.var_batch, B,
                                      valid=batch.var_mask)

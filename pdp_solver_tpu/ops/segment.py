@@ -30,9 +30,14 @@ import jax.numpy as jnp
 
 # Matches the reference clamps: safe_exp logit clamp 30.0
 # (src/pdp/nn/pdp_propagate.py:125, util.py:277-280) and safe_log eps
-# (1e-40 in the propagator, 1e-10 in the scorer).
+# (1e-40 in the propagator, 1e-10 in the scorer). The propagator eps is
+# raised from the reference's 1e-40 (a float32 SUBNORMAL) to FLT_MIN:
+# XLA flushes subnormals to zero, so max(x, 1e-40) -> log(0) = -inf -> NaN
+# in aggregate-minus-self; torch keeps subnormals so the reference gets
+# log(1e-40). Both clamp to "effectively zero probability" (exp of either
+# underflows), verified by the parity tests.
 MAX_LOGIT = 30.0
-LOG_EPS_PROP = 1e-40
+LOG_EPS_PROP = 1.1754944e-38  # smallest normal float32
 LOG_EPS_SCORE = 1e-10
 
 

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from pdp_solver_tpu.fg.batch import FGBatch
+from pdp_solver_tpu.modules.common import scatter_to_vars, scatter_to_clauses
 from pdp_solver_tpu.ops import segment_sum
 from pdp_solver_tpu.problem.state import ProblemState
 
@@ -30,10 +31,8 @@ def set_variable_core(batch: FGBatch, state: ProblemState,
 
     a_e = assignment[batch.edge_var] * batch.edge_mask
     # number of assigned inputs / signed evaluation per clause (edge sums)
-    input_num = segment_sum(jnp.abs(a_e), batch.edge_clause, F,
-                            indices_are_sorted=True)
-    clause_eval = segment_sum(batch.edge_sign * a_e, batch.edge_clause, F,
-                              indices_are_sorted=True)
+    input_num = scatter_to_clauses(batch, jnp.abs(a_e))
+    clause_eval = scatter_to_clauses(batch, batch.edge_sign * a_e)
 
     # a clause with at least one satisfying assigned literal is removed
     satisfied = (clause_eval > -input_num) & (state.active_clauses > 0)
@@ -49,8 +48,7 @@ def set_variable_core(batch: FGBatch, state: ProblemState,
 def _unit_clauses(batch: FGBatch, state: ProblemState) -> jnp.ndarray:
     """f32[F] indicator of active clauses with exactly one active variable."""
     contrib = state.active_vars[batch.edge_var] * batch.edge_mask
-    degree = segment_sum(contrib, batch.edge_clause, batch.num_clauses,
-                         indices_are_sorted=True)
+    degree = scatter_to_clauses(batch, contrib)
     return (degree == 1).astype(jnp.float32) * state.active_clauses
 
 
@@ -72,8 +70,8 @@ def unit_propagate(batch: FGBatch, state: ProblemState) -> ProblemState:
     def body(carry):
         state, single = carry
         s_e = single[batch.edge_clause] * batch.edge_mask
-        input_num = segment_sum(s_e, batch.edge_var, V)
-        var_eval = segment_sum(batch.edge_sign * s_e, batch.edge_var, V)
+        input_num = scatter_to_vars(batch, s_e)
+        var_eval = scatter_to_vars(batch, batch.edge_sign * s_e)
 
         # conflicting variables are forced both ways by unit clauses
         conflict = ((jnp.abs(var_eval) != input_num).astype(jnp.float32)
@@ -114,9 +112,8 @@ def peel(batch: FGBatch, state: ProblemState) -> ProblemState:
     """
     V, F = batch.num_vars, batch.num_clauses
     e_clause_active = state.active_clauses[batch.edge_clause] * batch.edge_mask
-    degree = segment_sum(e_clause_active, batch.edge_var, V)
-    signed_degree = segment_sum(batch.edge_sign * e_clause_active,
-                                batch.edge_var, V)
+    degree = scatter_to_vars(batch, e_clause_active)
+    signed_degree = scatter_to_vars(batch, batch.edge_sign * e_clause_active)
 
     def pure_vars(state, degree, signed_degree):
         return ((degree == jnp.abs(signed_degree)).astype(jnp.float32)
@@ -130,13 +127,13 @@ def peel(batch: FGBatch, state: ProblemState) -> ProblemState:
         state, degree, signed_degree = carry
         single_v = pure_vars(state, degree, signed_degree)
 
-        touched = segment_sum(single_v[batch.edge_var] * batch.edge_mask,
-                              batch.edge_clause, F, indices_are_sorted=True)
+        touched = scatter_to_clauses(
+            batch, single_v[batch.edge_var] * batch.edge_mask)
         single_f = (touched > 0).astype(jnp.float32) * state.active_clauses
 
         f_e = single_f[batch.edge_clause] * batch.edge_mask
-        delta = segment_sum(f_e, batch.edge_var, V) * state.active_vars
-        signed_delta = (segment_sum(batch.edge_sign * f_e, batch.edge_var, V)
+        delta = scatter_to_vars(batch, f_e) * state.active_vars
+        signed_delta = (scatter_to_vars(batch, batch.edge_sign * f_e)
                         * state.active_vars)
 
         solution = jnp.where(

@@ -405,7 +405,7 @@ class PDPSolver:
                                             valid=batch.var_mask)
 
             unsat_e = unsat_f[batch.edge_clause] * batch.edge_mask
-            unsat_v = (segment_sum(unsat_e, batch.edge_var, V)
+            unsat_v = (common.scatter_to_vars(batch, unsat_e)
                        * problem.active_vars > 0).astype(jnp.float32)
             noise = unsat_v * jax.random.uniform(r_rand, (V,))
             rand_ind = segment_argmax_first(noise, batch.var_batch, B,
@@ -486,9 +486,9 @@ def _compute_energy(batch: FGBatch, problem: ProblemState, assign):
     F, B = batch.num_clauses, batch.batch_size
     a_e = (batch.edge_sign * (assign * problem.active_vars)[batch.edge_var]
            * batch.edge_mask)
-    agg = segment_sum(a_e, batch.edge_clause, F, indices_are_sorted=True)
+    agg = common.scatter_to_clauses(batch, a_e)
     deg_e = problem.active_vars[batch.edge_var] * batch.edge_mask
-    degree = segment_sum(deg_e, batch.edge_clause, F, indices_are_sorted=True)
+    degree = common.scatter_to_clauses(batch, deg_e)
     unsat = (agg == -degree).astype(jnp.float32) * problem.active_clauses
     energy = segment_sum(unsat, batch.clause_batch, B)
     return energy, unsat
@@ -502,17 +502,15 @@ def _compute_energy_diff(batch: FGBatch, problem: ProblemState, assign, em):
     dist = (batch.edge_sign * (assign * problem.active_vars)[batch.edge_var]
             * batch.edge_mask)
     agg = common.gather_from_clauses(
-        batch, segment_sum(dist, batch.edge_clause, F,
-                           indices_are_sorted=True))
+        batch, common.scatter_to_clauses(batch, dist))
     agg = agg - dist
 
     deg_e = problem.active_vars[batch.edge_var] * batch.edge_mask
     degree = common.gather_from_clauses(
-        batch, segment_sum(deg_e, batch.edge_clause, F,
-                           indices_are_sorted=True))
+        batch, common.scatter_to_clauses(batch, deg_e))
 
     critical = (agg == (1.0 - degree)).astype(jnp.float32) * em
-    return segment_sum(critical * dist, batch.edge_var, V)
+    return common.scatter_to_vars(batch, critical * dist)
 
 
 def _deduplicate(base_batch: FGBatch, rep_batch: FGBatch,

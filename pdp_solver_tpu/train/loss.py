@@ -40,9 +40,8 @@ def energy_loss(batch: FGBatch, variable_prediction, global_step,
     ev = literal_values(batch, variable_prediction) * batch.edge_mask
     weights = jnp.exp(coeff * ev) * batch.edge_mask
 
-    nom = segment_sum(weights * ev, batch.edge_clause, F,
-                      indices_are_sorted=True)
-    den = segment_sum(weights, batch.edge_clause, F, indices_are_sorted=True)
+    nom = common.scatter_to_clauses(batch, weights * ev)
+    den = common.scatter_to_clauses(batch, weights)
 
     clause_value = den / jnp.maximum(nom, eps)
     clause_value = 1.0 + jnp.power(clause_value - 1.0, loss_sharpness)
@@ -58,8 +57,8 @@ def cnf_evaluate(batch: FGBatch, variable_prediction):
 
     ev = (literal_values(batch, variable_prediction) > 0.5).astype(jnp.float32)
     ev = ev * batch.edge_mask
-    clause_sat = (segment_sum(ev, batch.edge_clause, F,
-                              indices_are_sorted=True) > 0).astype(jnp.float32)
+    clause_sat = (common.scatter_to_clauses(batch, ev)
+                  > 0).astype(jnp.float32)
     clause_sat = clause_sat * batch.clause_mask
 
     max_sat = segment_sum(batch.clause_mask, batch.clause_batch, B)
