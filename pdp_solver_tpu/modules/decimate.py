@@ -56,7 +56,8 @@ def neural_decimator_init(rng, cfg: NeuralDecimatorConfig):
 
 
 def neural_decimator_apply(params, cfg: NeuralDecimatorConfig, batch: FGBatch,
-                           dec_state, message_state, active_edge):
+                           dec_state, message_state, active_edge,
+                           meta_e=None):
     """Reference pdp_decimate.py:51-87: two GRU cells over persistent edge
     states, frozen for instances that have terminated."""
     old_var, old_fn = dec_state
@@ -64,11 +65,14 @@ def neural_decimator_apply(params, cfg: NeuralDecimatorConfig, batch: FGBatch,
     feat = col(batch.edge_sign)
     mask = col(active_edge)
 
-    v_in = jnp.concatenate([msg_var, feat], axis=1)
+    def with_meta(x):
+        return x if meta_e is None else jnp.concatenate([x, meta_e], axis=1)
+
+    v_in = with_meta(jnp.concatenate([msg_var, feat], axis=1))
     var_state = (mask * mlp.gru_cell_apply(params["var_gru"], v_in, old_var)
                  + (1.0 - mask) * old_var)
 
-    f_in = jnp.concatenate([msg_fn, feat], axis=1)
+    f_in = with_meta(jnp.concatenate([msg_fn, feat], axis=1))
     fn_state = (mask * mlp.gru_cell_apply(params["fn_gru"], f_in, old_fn)
                 + (1.0 - mask) * old_fn)
 
@@ -97,11 +101,13 @@ class SeqDecimatorState(NamedTuple):
     has_prev: jnp.ndarray   # f32[]  - 0 on the first iteration
 
 
-def seq_decimator_init_state(num_edges, batch_size):
+def seq_decimator_init_state(batch, replication=1):
+    # derive the zeros from batch arrays (not jnp.zeros) so the state
+    # inherits the batch's sharding/varying axes under shard_map
     return SeqDecimatorState(
-        prev_eta=jnp.zeros(num_edges, jnp.float32),
-        counters=jnp.zeros(batch_size, jnp.float32),
-        has_prev=jnp.zeros((), jnp.float32))
+        prev_eta=jnp.tile(batch.edge_mask * 0.0, replication),
+        counters=jnp.tile(batch.instance_mask * 0.0, replication),
+        has_prev=jnp.sum(batch.instance_mask) * 0.0)
 
 
 @dataclass(frozen=True)
@@ -197,10 +203,10 @@ class ReinforceDecimatorState(NamedTuple):
     has_prev: jnp.ndarray  # f32[]
 
 
-def reinforce_decimator_init_state(num_edges):
+def reinforce_decimator_init_state(batch, replication=1):
     return ReinforceDecimatorState(
-        prev_eta=jnp.zeros(num_edges, jnp.float32),
-        has_prev=jnp.zeros((), jnp.float32))
+        prev_eta=jnp.tile(batch.edge_mask * 0.0, replication),
+        has_prev=jnp.sum(batch.instance_mask) * 0.0)
 
 
 @dataclass(frozen=True)

@@ -50,13 +50,15 @@ def neural_predictor_init(rng, cfg: NeuralPredictorConfig):
 
 
 def neural_predictor_apply(params, cfg: NeuralPredictorConfig, batch: FGBatch,
-                           dec_state, edge_mask):
+                           dec_state, edge_mask, meta_e=None):
     """Aggregate-with-self over decimator var states -> per-variable classifier
     (reference pdp_predict.py:49-91; the function-classifier path is unused by
     every reference config and solver, so only the variable path exists)."""
     dec_var, _ = dec_state
     feat = col(batch.edge_sign)
     agg_in = jnp.concatenate([dec_var, feat], axis=1)
+    if meta_e is not None:
+        agg_in = jnp.concatenate([agg_in, meta_e], axis=1)
     agg_v = mlp.aggregator_apply(params["var_agg"], cfg.aggregator_cfg(),
                                  batch, agg_in, None, "var", edge_mask)
     if cfg.classifier_kind == "tanh":

@@ -56,8 +56,11 @@ def neural_propagator_init(rng, cfg: NeuralPropagatorConfig):
 
 def neural_propagator_apply(params, cfg: NeuralPropagatorConfig, rng,
                             batch: FGBatch, prop_state, dec_state,
-                            edge_mask, active_edge, is_training):
-    """Reference pdp_propagate.py:47-95 (NeuralMessagePasser.forward)."""
+                            edge_mask, active_edge, is_training,
+                            meta_e=None):
+    """Reference pdp_propagate.py:47-95 (NeuralMessagePasser.forward).
+    meta_e: optional [E, meta_dim] per-edge graph features (the reference's
+    meta_data broadcast through b_variable_mask, pdp_propagate.py:59-61)."""
     var_state, fn_state = prop_state
     dec_var, dec_fn = dec_state
     acfg = cfg.aggregator_cfg()
@@ -65,15 +68,18 @@ def neural_propagator_apply(params, cfg: NeuralPropagatorConfig, rng,
     mask = col(active_edge)
     r1, r2 = jax.random.split(rng)
 
+    def with_meta(x):
+        return x if meta_e is None else jnp.concatenate([x, meta_e], axis=1)
+
     # variables -> functions
-    dv_in = jnp.concatenate([dec_var, feat], axis=1)
+    dv_in = with_meta(jnp.concatenate([dec_var, feat], axis=1))
     fn_new = mlp.aggregator_apply(params["var_agg"], acfg, batch, dv_in,
                                   feat, "var", edge_mask)
     fn_state = mask * fn_new + (1.0 - mask) * fn_state
     fn_state = common.dropout(r1, fn_state, cfg.dropout, is_training)
 
     # functions -> variables
-    df_in = jnp.concatenate([dec_fn, feat], axis=1)
+    df_in = with_meta(jnp.concatenate([dec_fn, feat], axis=1))
     var_new = mlp.aggregator_apply(params["fn_agg"], acfg, batch, df_in,
                                    feat, "clause", edge_mask)
     var_state = mask * var_new + (1.0 - mask) * var_state

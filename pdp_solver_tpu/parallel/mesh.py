@@ -42,6 +42,12 @@ def make_mesh(n_devices=None, axis_name="dp"):
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_mesh_2d(n_dp, n_rep, dp_axis="dp", rep_axis="rep"):
+    """(dp, rep) mesh: data parallelism x search (replica) parallelism."""
+    devices = np.asarray(jax.devices()[:n_dp * n_rep]).reshape(n_dp, n_rep)
+    return Mesh(devices, (dp_axis, rep_axis))
+
+
 def stack_batches(batches) -> FGBatch:
     """Stack equal-shape FGBatches along a new leading device axis."""
     return jax.tree_util.tree_map(
@@ -128,5 +134,69 @@ def make_parallel_solve(solver, iteration_num, *, replication=1, mesh=None,
     @jax.jit
     def solve(params, rngs, batches, states):
         return sharded(params, rngs, batches, states)
+
+    return solve
+
+
+def make_replica_parallel_solve(solver, iteration_num, *, mesh,
+                                dp_axis="dp", rep_axis="rep"):
+    """Search parallelism across chips: a 2-D (dp, rep) mesh where every
+    `rep` slice solves the same instance shard from a different random
+    message initialisation, and the minimum-energy replica is selected with
+    an `all_gather` + masked `psum` over the replica axis (the multi-chip
+    analog of the reference's in-batch replication + de-dup,
+    solver.py:56-99/401-431).
+
+    Input batch pytree has a leading [n_dp] axis (replicated over `rep`);
+    rngs have shape [n_dp, n_rep, 2]. Returns ([n_dp, ...] predictions
+    selected per-variable from the best replica, global solved fraction).
+    """
+    from pdp_solver_tpu.solvers.base import _compute_energy
+    from pdp_solver_tpu.problem.state import init_problem_state
+
+    def device_solve(params, rng, batch):
+        batch = jax.tree_util.tree_map(lambda x: x[0], batch)
+        # the batch is replicated over the replica axis while the rng varies,
+        # so mark it replica-varying up front or the solver's while_loop carry
+        # types diverge between input and output
+        batch = jax.tree_util.tree_map(
+            lambda x: jax.lax.pcast(x, (rep_axis,), to="varying"), batch)
+        rng = rng[0, 0]
+        r_state, r_fwd = jax.random.split(rng)
+        state = solver.get_init_state(r_state, batch, randomized=True)
+        (var_pred, _), _ = solver.forward(
+            params, r_fwd, batch, state, iteration_num,
+            is_training=False, check_termination=True)
+
+        # replica selection by energy (uses the ORIGINAL formula: the solve
+        # already merged its decimated solution into var_pred)
+        problem = init_problem_state(batch)
+        assign = 2.0 * var_pred[:, 0] - 1.0
+        energy, _ = _compute_energy(batch, problem, assign)       # [B]
+
+        e_all = jax.lax.all_gather(energy, rep_axis)              # [R, B]
+        best_r = jnp.argmin(e_all, axis=0)                        # [B]
+        my_r = jax.lax.axis_index(rep_axis)
+        mine = (best_r[batch.var_batch] == my_r).astype(var_pred.dtype)
+        selected = jax.lax.psum(var_pred * mine[:, None], rep_axis)
+
+        solved, _ = cnf_evaluate(batch, selected)
+        solved = solved * batch.instance_mask
+        # sum over BOTH axes (each instance counted n_rep times in both
+        # numerator and denominator) so the ratio is exact and statically
+        # replica-invariant
+        n_solved = jax.lax.psum(jnp.sum(solved), (dp_axis, rep_axis))
+        n_total = jax.lax.psum(jnp.sum(batch.instance_mask),
+                               (dp_axis, rep_axis))
+        return selected[None], n_solved / jnp.maximum(n_total, 1.0)
+
+    sharded = shard_map(
+        device_solve, mesh=mesh,
+        in_specs=(P(), P(dp_axis, rep_axis), P(dp_axis)),
+        out_specs=(P(dp_axis), P()))
+
+    @jax.jit
+    def solve(params, rngs, batches):
+        return sharded(params, rngs, batches)
 
     return solve

@@ -192,13 +192,13 @@ class PDPSolver:
             # [E, hidden] pair (pdp_predict.py:93-104)
             dec = PR.neural_propagator_init_state(
                 r2, self.prop_cfg, E, randomized)
-            aux = D.seq_decimator_init_state(E, B)
+            aux = D.seq_decimator_init_state(batch, replication)
         elif t == "p-d-p":
             dec = P.scorer_message_init_state(r2, E, randomized)
-            aux = D.seq_decimator_init_state(E, B)
+            aux = D.seq_decimator_init_state(batch, replication)
         elif t == "reinforce":
             dec = P.scorer_message_init_state(r2, E, randomized)
-            aux = D.reinforce_decimator_init_state(E)
+            aux = D.reinforce_decimator_init_state(batch, replication)
         else:
             dec = ()
             aux = ()
@@ -224,22 +224,25 @@ class PDPSolver:
             fn = None
         return fn
 
-    def _propagate(self, params, rng, batch, prop, dec, em, ae, is_training):
+    def _propagate(self, params, rng, batch, prop, dec, em, ae, is_training,
+                   meta_e=None):
         t = self._t
         if t in ("np-nd-np", "np-d-np"):
             return PR.neural_propagator_apply(
                 params["prop"], self.prop_cfg, rng, batch, prop, dec, em, ae,
-                is_training)
+                is_training, meta_e)
         else:
             return PR.survey_propagator_apply(
                 params.get("prop", {}), self.prop_cfg, batch, prop, dec,
                 em, ae)
 
-    def _predict(self, params, rng, batch, problem, dec, em, last_call):
+    def _predict(self, params, rng, batch, problem, dec, em, last_call,
+                 meta_e=None):
         t = self._t
         if t in ("np-nd-np", "p-nd-np"):
             return P.neural_predictor_apply(params["predictor"],
-                                            self.pred_cfg, batch, dec, em)
+                                            self.pred_cfg, batch, dec, em,
+                                            meta_e)
         if t == "reinforce":
             return P.reinforce_predictor_apply(batch, dec)
         return P.identity_predictor_apply(rng, problem, random_fill=True,
@@ -250,16 +253,22 @@ class PDPSolver:
     def forward(self, params, rng, batch: FGBatch, init_state: SolverState,
                 iteration_num: int, *, is_training: bool,
                 check_termination: bool = False, replication: int = 1,
-                simplify_first: bool = True):
+                simplify_first: bool = True, graph_feat=None):
         """One full solve (reference solver.py:324-353).
 
-        Returns ((variable_prediction [V0,1], None), final SolverState) where
-        V0 is the un-replicated variable count.
+        graph_feat: optional [B, meta_dim] per-instance features (reference
+        meta_data); broadcast to edges once and threaded through the neural
+        modules. Returns ((variable_prediction [V0,1], None), final
+        SolverState) where V0 is the un-replicated variable count.
         """
         t = self._t
         base_batch = batch
         if replication > 1 and not is_training:
             batch = replicate_batch(batch, replication)
+            if graph_feat is not None:
+                graph_feat = jnp.tile(graph_feat, (replication, 1))
+        meta_e = (None if graph_feat is None
+                  else common.instances_to_edges(batch, graph_feat))
 
         problem = init_problem_state(batch)
         if simplify_first and not is_training:
@@ -269,14 +278,14 @@ class PDPSolver:
         if has_pd:
             problem, state, active_b, rng = self._forward_core(
                 params, rng, batch, problem, init_state, iteration_num,
-                is_training, check_termination, replication)
+                is_training, check_termination, replication, meta_e)
         else:
             state = init_state
 
         em = compute_edge_mask(batch, problem)
         rng, r_pred, r_ls = jax.random.split(rng, 3)
         pred = self._predict(params, r_pred, batch, problem, state.dec, em,
-                             last_call=True)
+                             last_call=True, meta_e=meta_e)
 
         if not is_training and self.cfg.local_search_iterations > 0:
             var_pred = self._local_search(r_ls, batch, problem, pred[0],
@@ -293,7 +302,7 @@ class PDPSolver:
 
     def _forward_core(self, params, rng, batch, problem, state,
                       iteration_num, is_training, check_termination,
-                      replication):
+                      replication, meta_e=None):
         """The hot loop (reference solver.py:355-386)."""
         t = self._t
         scorer_fn = self._scorer_fn(params, batch)
@@ -306,11 +315,12 @@ class PDPSolver:
             ae = active_b[batch.var_batch[batch.edge_var]]
 
             prop = self._propagate(params, r_p, batch, state.prop, state.dec,
-                                   em, ae, is_training)
+                                   em, ae, is_training, meta_e)
 
             if t in ("np-nd-np", "p-nd-np"):
                 dec = D.neural_decimator_apply(params["dec"], self.dec_cfg,
-                                               batch, state.dec, prop, ae)
+                                               batch, state.dec, prop, ae,
+                                               meta_e)
                 aux = state.aux
             elif t in ("np-d-np", "p-d-p"):
                 aux, problem, maybe_active = D.sequential_decimator_apply(
@@ -338,7 +348,7 @@ class PDPSolver:
 
             if check_termination:
                 pred = self._predict(params, r_pr, batch, problem, dec, em,
-                                     last_call=False)
+                                     last_call=False, meta_e=meta_e)
                 var_pred, problem = _update_solution(problem, pred[0])
                 solved, _ = cnf_evaluate(batch, var_pred)
                 solved = _group_any(solved, replication)

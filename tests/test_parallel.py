@@ -67,3 +67,20 @@ def test_parallel_solve_pdp(rng):
         jax.tree_util.tree_map(lambda *x: jnp.stack(x), *states))
     assert preds.shape[0] == n_dev
     assert float(solved_frac) >= 0.5  # easy alpha=2.5 instances
+
+
+def test_replica_parallel_solve(rng):
+    """4 dp x 2 rep mesh: each replica column solves from a different init;
+    the min-energy replica is selected over ICI collectives."""
+    from pdp_solver_tpu.parallel import make_mesh_2d, make_replica_parallel_solve
+    n_dp, n_rep = 4, 2
+    mesh = make_mesh_2d(n_dp, n_rep)
+    solver = _solver("p-d-p")
+    solve = make_replica_parallel_solve(solver, 60, mesh=mesh)
+    batches = stack_batches(_batches(rng, n_dp, n=12, m=30))
+    rngs = jax.random.split(jax.random.PRNGKey(5), n_dp * n_rep)
+    rngs = rngs.reshape(n_dp, n_rep, 2)
+    preds, solved_frac = solve({}, rngs, batches)
+    assert preds.shape[0] == n_dp
+    assert np.isfinite(np.asarray(preds)).all()
+    assert float(solved_frac) >= 0.5

@@ -86,14 +86,14 @@ def main():
     json_path = "/tmp/refbench/bench_4sat.json"
     write_json(insts, json_path)
 
-    # slope measurement: two budgets isolate per-iteration cost from fixed
-    # setup (simplify, packing, walksat)
-    w_lo, s_lo, n = run_reference(json_path, max(iters // 10, 10), ls_iters,
-                                  "/tmp/refbench/out_lo.json")
+    # headline: the full budget with walksat post-processing
     w_hi, solved, n = run_reference(json_path, iters, ls_iters,
                                     "/tmp/refbench/out_hi.json")
-    d_iters = iters - max(iters // 10, 10)
-    per_iter = max((w_hi - w_lo) / d_iters, 1e-9)
+    # per-iteration slope with walksat off and budgets small enough that
+    # instances stay active (isolates the PDP iteration cost)
+    w_a, _, _ = run_reference(json_path, 50, 0, "/tmp/refbench/out_a.json")
+    w_b, _, _ = run_reference(json_path, 150, 0, "/tmp/refbench/out_b.json")
+    per_iter = max((w_b - w_a) / 100.0, 1e-9)
     result = {
         "dataset": {"seed": 0, "count": n, "n": 100, "alpha": 9.0, "k": 4,
                     "fingerprint": fp, "total_edges": int(total_edges)},
