@@ -170,12 +170,18 @@ ELL_ROUND = 8
 
 def build_ell_table(node_ids, num_nodes, max_width=ELL_MAX_WIDTH):
     """Edge ids per node at fixed width (ELL), -1 padded; [num_nodes, 0] when
-    the max degree exceeds `max_width` (degenerate graphs)."""
+    the max degree exceeds `max_width` (degenerate graphs). Uses the native
+    fgpack kernel when built (native/fgpack.cpp), numpy otherwise."""
     counts = np.bincount(node_ids, minlength=num_nodes)
     width = int(counts.max()) if counts.size else 0
     if width > max_width:
         return np.zeros((num_nodes, 0), dtype=np.int32)
     width = max(ELL_ROUND, -(-width // ELL_ROUND) * ELL_ROUND)
+
+    from pdp_solver_tpu.fg import native
+    fast = native.build_ell_fast(node_ids, num_nodes, width)
+    if fast is not None:
+        return fast
     table = np.full((num_nodes, width), -1, dtype=np.int32)
     order = np.argsort(node_ids, kind="stable")
     sorted_ids = node_ids[order]

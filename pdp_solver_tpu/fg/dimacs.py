@@ -13,7 +13,17 @@ import numpy as np
 
 def parse_dimacs(path):
     """DIMACS CNF -> (n, m, clauses) with clauses a list of signed-literal
-    lists. Tolerates comments, blank lines and trailing 0 terminators."""
+    lists. Tolerates comments, blank lines and trailing 0 terminators.
+    Uses the native fgpack parser when built (native/fgpack.cpp)."""
+    from pdp_solver_tpu.fg import native
+    fast = native.parse_dimacs_fast(path)
+    if fast is not None:
+        n, m, ev, ec, es = fast
+        clauses = [[] for _ in range(m)]
+        for v, c, sgn in zip(ev.tolist(), ec.tolist(), es.tolist()):
+            clauses[c].append((v + 1) * (1 if sgn > 0 else -1))
+        return n, m, clauses
+
     clauses = []
     n = m = 0
     with open(path, "r") as f:
