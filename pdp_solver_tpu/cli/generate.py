@@ -12,8 +12,6 @@ import argparse
 import os
 import sys
 
-import numpy as np
-
 from pdp_solver_tpu.fg.dimacs import write_dimacs
 from pdp_solver_tpu.fg.generators import (
     UniformCNFGenerator, ModularCNFGenerator, VariableModularCNFGenerator)

@@ -9,8 +9,6 @@ scheme PyTorch uses so trained behaviour is comparable.
 """
 
 from dataclasses import dataclass
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

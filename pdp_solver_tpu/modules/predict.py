@@ -5,7 +5,6 @@ Every predictor returns (variable_prediction [V,1] | None, function_prediction
 """
 
 from dataclasses import dataclass
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -23,8 +23,6 @@ Design notes (TPU):
     materialising an N x B dense matrix.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

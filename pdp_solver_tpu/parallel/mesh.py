@@ -18,8 +18,6 @@ Weights are tiny (<1M params, SURVEY.md 2.9: no TP/PP needed) and stay
 replicated.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

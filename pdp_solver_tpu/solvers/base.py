@@ -21,8 +21,7 @@ Solver types ('model_type' in reference configs, trainer.py:48-99):
 """
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ the reference's non-grad `_global_step` parameter (solver.py:310).
 import json
 import os
 import time
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
