@@ -255,8 +255,7 @@ class SatTrainer:
             else:
                 test_files = [test_files]
         if import_path:
-            self.params = ckpt.load_params(import_path, self.params,
-                                           self.solver.cfg.name)
+            self._load_params(import_path)
         results = []
         for path in test_files:
             loader = BatchLoader(
@@ -280,8 +279,7 @@ class SatTrainer:
         (trainer.py:125-148). `out_file` is a writable file object."""
         c = self._config
         if import_path:
-            self.params = ckpt.load_params(import_path, self.params,
-                                           self.solver.cfg.name)
+            self._load_params(import_path)
         loader = BatchLoader(
             input_file=test_path, batch_size=c.get("batch_size", 5000),
             limit=c.get("test_batch_limit", 40000000),
@@ -319,6 +317,15 @@ class SatTrainer:
         return "\n".join(lines) + "\n"
 
     # ---------------------------------------------------------------- ckpt
+
+    def _load_params(self, path):
+        """Load model parameters from a best/last checkpoint (checkpoints
+        store the full train-state layout incl. global_step)."""
+        restored = ckpt.load_params(path, {
+            "params": self.params,
+            "global_step": jnp.zeros((), jnp.float32),
+        }, self.solver.cfg.name)
+        self.params = restored["params"]
 
     def _save_train_state(self, train_state: TrainState, path):
         ckpt.save_params(path, {
