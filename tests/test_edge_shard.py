@@ -1,0 +1,49 @@
+"""Edge-sharded SP must reproduce the single-device SP exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pdp_solver_tpu.fg.batch import pack_instances
+from pdp_solver_tpu.modules.propagate import (
+    SurveyPropagatorConfig, survey_propagator_apply)
+from pdp_solver_tpu.modules.predict import (
+    SurveyScorerConfig, survey_scorer_apply)
+from pdp_solver_tpu.parallel.edge_shard import (
+    shard_instance, make_edge_sharded_sp, init_states)
+from pdp_solver_tpu.parallel import make_mesh
+from pdp_solver_tpu.problem.state import init_problem_state
+from tests.helpers import cnf_instance, random_ksat
+
+
+def test_edge_sharded_sp_matches_single_device(rng):
+    n, m = 60, 240
+    clauses = random_ksat(rng, n, m, 3)
+    inst = cnf_instance(n, clauses)
+
+    n_shards = 8
+    mesh = make_mesh(n_shards, axis_name="es")
+    graph = shard_instance(inst[0], inst[1], inst[2], inst[3], n_shards)
+    run = make_edge_sharded_sp(graph, n_iters=6, mesh=mesh)
+    v0, f0 = init_states(graph, jax.random.PRNGKey(0), randomized=False)
+    score_sharded, _ = run(graph, v0, f0)
+
+    # single-device oracle on the identically-ordered edge list
+    batch = pack_instances([inst], bucket=False)
+    # shard_instance keeps the original (clause-major) edge order, and
+    # pack_instances stable-sorts by clause, so orders agree
+    E = batch.num_edges
+    state = (jnp.ones((E, 3)) / 3.0,
+             jnp.concatenate([0.5 * jnp.ones((E, 1)), jnp.zeros((E, 1))], 1))
+    cfg = SurveyPropagatorConfig()
+    ones = jnp.ones(E)
+    for _ in range(6):
+        state = survey_propagator_apply({}, cfg, batch, state, state,
+                                        ones, ones)
+    problem = init_problem_state(batch)
+    score_single, _ = survey_scorer_apply({}, SurveyScorerConfig(), batch,
+                                          state, problem)
+
+    np.testing.assert_allclose(np.asarray(score_sharded),
+                               np.asarray(score_single)[:, 0],
+                               rtol=1e-4, atol=1e-5)
