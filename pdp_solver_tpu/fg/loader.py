@@ -15,10 +15,51 @@ sorted by edge count descending (dataset.py:36-74), and the limit divided by
 `batch_replication` up front (dataset.py:95).
 """
 
+import collections
+import os
+
 import numpy as np
 
 from pdp_solver_tpu.fg.batch import FGBatch, pack_instances
-from pdp_solver_tpu.fg.jsonfmt import read_json_dataset
+from pdp_solver_tpu.fg.jsonfmt import parse_line, read_json_dataset
+
+# files above this size are read lazily (line-offset index + LRU parse
+# cache, the reference's max_cache_size behaviour, dataset.py:103-118);
+# override with PDP_LAZY_FILE_BYTES
+LAZY_FILE_BYTES = int(os.environ.get("PDP_LAZY_FILE_BYTES",
+                                     64 * 1024 * 1024))
+
+
+class _LazyJsonDataset:
+    """Sequence of parsed instances backed by a line-offset index and a
+    bounded LRU cache, so datasets far larger than RAM stream cleanly."""
+
+    def __init__(self, path, max_cache_size=100000):
+        self._path = path
+        self._cache = collections.OrderedDict()
+        self._max_cache = max_cache_size
+        self._offsets = []
+        with open(path, "rb") as f:
+            off = 0
+            for line in f:
+                if line.strip():
+                    self._offsets.append(off)
+                off += len(line)
+        self._fh = open(path, "rb")
+
+    def __len__(self):
+        return len(self._offsets)
+
+    def __getitem__(self, i):
+        if i in self._cache:
+            self._cache.move_to_end(i)
+            return self._cache[i]
+        self._fh.seek(self._offsets[i])
+        inst = parse_line(self._fh.readline().decode())
+        if len(self._cache) >= self._max_cache:
+            self._cache.popitem(last=False)
+        self._cache[i] = inst
+        return inst
 
 
 def divide_batch(instances, limit, hidden_dim):
@@ -52,7 +93,7 @@ class BatchLoader:
     def __init__(self, input_file=None, generator=None, epoch_size=0,
                  batch_size=5000, limit=40000000, hidden_dim=3,
                  batch_replication=1, shuffle=False, granularity=2.0,
-                 fixed_shape=False, seed=0):
+                 fixed_shape=False, seed=0, max_cache_size=100000):
         self._generator = generator
         self._epoch_size = epoch_size
         self._batch_size = batch_size
@@ -64,7 +105,10 @@ class BatchLoader:
         self._rng = np.random.default_rng(seed)
         self._instances = None
         if input_file is not None:
-            self._instances = read_json_dataset(input_file)
+            if os.path.getsize(input_file) > LAZY_FILE_BYTES:
+                self._instances = _LazyJsonDataset(input_file, max_cache_size)
+            else:
+                self._instances = read_json_dataset(input_file)
 
     def __len__(self):
         n = self._epoch_size if self._generator is not None \

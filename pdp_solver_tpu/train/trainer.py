@@ -138,12 +138,14 @@ class SatTrainer:
             batch_size=c.get("batch_size", 5000),
             limit=c.get("train_batch_limit", 4000000),
             hidden_dim=c.get("hidden_dim", 3), shuffle=True,
-            fixed_shape=generator is not None)
+            fixed_shape=generator is not None,
+            max_cache_size=c.get("max_cache_size", 100000))
         val_loader = BatchLoader(
             input_file=validation_files[0],
             batch_size=c.get("batch_size", 5000),
             limit=c.get("test_batch_limit", 40000000),
-            hidden_dim=c.get("hidden_dim", 3))
+            hidden_dim=c.get("hidden_dim", 3),
+            max_cache_size=c.get("max_cache_size", 100000))
 
         train_step = self._train_step_fn()
         epoch_num = int(c.get("epoch_num", 1))
@@ -262,7 +264,8 @@ class SatTrainer:
                 input_file=path, batch_size=c.get("batch_size", 5000),
                 limit=c.get("test_batch_limit", 40000000),
                 hidden_dim=c.get("hidden_dim", 3),
-                batch_replication=batch_replication)
+                batch_replication=batch_replication,
+                max_cache_size=c.get("max_cache_size", 100000))
             start = time.time()
             err = self.test_metrics(loader, batch_replication)
             duration = time.time() - start
@@ -284,7 +287,8 @@ class SatTrainer:
             input_file=test_path, batch_size=c.get("batch_size", 5000),
             limit=c.get("test_batch_limit", 40000000),
             hidden_dim=c.get("hidden_dim", 3),
-            batch_replication=batch_replication)
+            batch_replication=batch_replication,
+            max_cache_size=c.get("max_cache_size", 100000))
         start = time.time()
         for batch, misc in loader:
             var_pred = self._run_batch(batch, batch_replication)

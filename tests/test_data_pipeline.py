@@ -119,3 +119,23 @@ def test_loader_generator_fixed_shape():
         total += int(np.asarray(batch.instance_mask).sum())
     assert len(shapes) == 1  # steady state: one compiled program
     assert total == 12
+
+
+def test_lazy_dataset_mode(tmp_path, monkeypatch):
+    import pdp_solver_tpu.fg.loader as L
+    lines = [clauses_to_line(3, [[1, -2], [2, 3]], -1.0, [f"i{i}"])
+             for i in range(9)]
+    p = tmp_path / "big.json"
+    p.write_text("\n".join(lines) + "\n")
+    # force the lazy path regardless of file size
+    monkeypatch.setattr(L, "LAZY_FILE_BYTES", 1)
+    loader = L.BatchLoader(input_file=str(p), batch_size=4, limit=10 ** 6,
+                           hidden_dim=3, max_cache_size=3)
+    total, ids = 0, []
+    for batch, misc in loader:
+        total += int(np.asarray(batch.instance_mask).sum())
+        ids.extend(m[0] for m in misc)
+    assert total == 9
+    assert ids == [f"i{i}" for i in range(9)]
+    # LRU stayed bounded
+    assert len(loader._instances._cache) <= 3
