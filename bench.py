@@ -49,12 +49,16 @@ def main():
         (pred, _), _ = solver.forward(
             {}, rng, batch, state, n_iters,
             is_training=False, check_termination=True)
-        return pred
+        # evaluate INSIDE jit: some PJRT backends fault on eager op-by-op
+        # execution, and the verifier belongs in the compiled program anyway
+        solved_v, _ = cnf_evaluate(batch, pred)
+        return pred, jnp.sum(solved_v * batch.instance_mask)
 
     key = jax.random.PRNGKey(0)
     r_state, r_fwd = jax.random.split(key)
     state = solver.get_init_state(r_state, batch, randomized=True)
 
+    batch = jax.device_put(batch)
     fwd = jax.jit(solve, static_argnames="n_iters")
     # warm-up / compile (cached afterwards)
     t0 = time.time()
@@ -63,11 +67,11 @@ def main():
 
     # timed full solve
     t0 = time.time()
-    pred = jax.block_until_ready(fwd(r_fwd, batch, state, iters))
+    pred, solved_dev = fwd(r_fwd, batch, state, iters)
+    jax.block_until_ready(pred)
     wall = time.time() - t0
 
-    solved_v, _ = cnf_evaluate(batch, pred)
-    solved = int(np.asarray(solved_v * batch.instance_mask).sum())
+    solved = int(solved_dev)
 
     # per-iteration slope without early termination (isolates the PDP
     # iteration cost from setup/walksat; every iteration actually executes)
