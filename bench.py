@@ -35,6 +35,11 @@ def main():
 
     iters = int(os.environ.get("BENCH_ITERS", "1000"))
     ls_iters = int(os.environ.get("BENCH_LS_ITERS", "1000"))
+    # chunk very long budgets into bounded program executions (resumable
+    # solve); 0 = single program. Defaults to 100-iteration chunks on TPU
+    # where extremely long-running single programs can trip device limits.
+    default_chunk = "100" if jax.default_backend() == "tpu" else "0"
+    chunk = int(os.environ.get("BENCH_CHUNK", default_chunk))
 
     insts = make_ksat_set()
     total_edges = sum(i[2].shape[1] for i in insts)
@@ -54,12 +59,48 @@ def main():
         solved_v, _ = cnf_evaluate(batch, pred)
         return pred, jnp.sum(solved_v * batch.instance_mask)
 
+    def solve_step(rng, batch, state, carry, n_iters):
+        _, state, carry = solver.forward(
+            {}, rng, batch, state, n_iters,
+            is_training=False, check_termination=True,
+            carry=carry, finalize=False)
+        return state, carry
+
+    def solve_final(rng, batch, state, carry):
+        (pred, _), _ = solver.forward(
+            {}, rng, batch, state, 0,
+            is_training=False, check_termination=True,
+            carry=carry, finalize=True)
+        solved_v, _ = cnf_evaluate(batch, pred)
+        return pred, jnp.sum(solved_v * batch.instance_mask)
+
+    def solve_chunked(rng, batch, state, n_iters, chunk_size):
+        carry = None
+        done = 0
+        while done < n_iters:
+            rng, r = jax.random.split(rng)
+            state, carry = step_fn(r, batch, state, carry,
+                                   min(chunk_size, n_iters - done)) \
+                if carry is not None else first_fn(
+                    r, batch, state, min(chunk_size, n_iters - done))
+            done += chunk_size
+        rng, r = jax.random.split(rng)
+        return final_fn(r, batch, state, carry)
+
     key = jax.random.PRNGKey(0)
     r_state, r_fwd = jax.random.split(key)
     state = solver.get_init_state(r_state, batch, randomized=True)
 
     batch = jax.device_put(batch)
-    fwd = jax.jit(solve, static_argnames="n_iters")
+    if chunk > 0:
+        first_fn = jax.jit(
+            lambda r, b, s, n: solve_step(r, b, s, None, n),
+            static_argnames="n")
+        step_fn = jax.jit(solve_step, static_argnames="n_iters")
+        final_fn = jax.jit(solve_final)
+        fwd = lambda r, b, s, n: solve_chunked(r, b, s, n, chunk)
+    else:
+        fwd = jax.jit(solve, static_argnames="n_iters")
     # warm-up / compile (cached afterwards)
     t0 = time.time()
     jax.block_until_ready(fwd(r_fwd, batch, state, iters))

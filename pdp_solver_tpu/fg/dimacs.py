@@ -45,9 +45,20 @@ def compact(n, clauses, propagate=False):
     dimacs2json.py:47-51); optionally drop subsumed clauses
     (`_propagate_constraints`, dimacs2json.py:58-83).
 
+    Repeated literals within a clause are deduplicated with last-polarity-
+    wins semantics, matching the reference's dense clause x var matrix
+    assignment (dimacs2json.py:44: a repeated variable overwrites its cell,
+    so "1 -1" collapses to "-1").
+
     Returns (n', clauses') with variables renumbered 1..n'.
     """
-    clauses = [c for c in clauses if len(c) > 0]
+    deduped = []
+    for c in clauses:
+        polarity = {}
+        for lit in c:
+            polarity[abs(lit)] = 1 if lit > 0 else -1
+        deduped.append([v * s for v, s in polarity.items()])
+    clauses = [c for c in deduped if len(c) > 0]
 
     if propagate:
         clauses = _drop_subsumed(clauses)

@@ -252,34 +252,54 @@ class PDPSolver:
     def forward(self, params, rng, batch: FGBatch, init_state: SolverState,
                 iteration_num: int, *, is_training: bool,
                 check_termination: bool = False, replication: int = 1,
-                simplify_first: bool = True, graph_feat=None):
+                simplify_first: bool = True, graph_feat=None,
+                carry=None, finalize=True):
         """One full solve (reference solver.py:324-353).
 
         graph_feat: optional [B, meta_dim] per-instance features (reference
         meta_data); broadcast to edges once and threaded through the neural
         modules. Returns ((variable_prediction [V0,1], None), final
         SolverState) where V0 is the un-replicated variable count.
+
+        Resumable solving: pass finalize=False to skip the final prediction /
+        local search / de-dup and instead get ((None, None), state, carry)
+        back, where `carry` = (problem, active, edge_mask); feed it to the
+        next call's `carry=` to continue the same solve (decimation progress
+        and termination flags persist). Chunks a very long iteration budget
+        into several bounded program executions. carry composes with
+        replication only if the caller replicates the batch itself.
         """
         t = self._t
         base_batch = batch
-        if replication > 1 and not is_training:
+        if replication > 1 and not is_training and carry is None:
             batch = replicate_batch(batch, replication)
             if graph_feat is not None:
                 graph_feat = jnp.tile(graph_feat, (replication, 1))
         meta_e = (None if graph_feat is None
                   else common.instances_to_edges(batch, graph_feat))
 
-        problem = init_problem_state(batch)
-        if simplify_first and not is_training:
-            problem = simplify_problem(batch, problem)
+        if carry is None:
+            problem = init_problem_state(batch)
+            if simplify_first and not is_training:
+                problem = simplify_problem(batch, problem)
+            resume = None
+        else:
+            problem, active_b0, em0 = carry
+            resume = (active_b0, em0)
 
         has_pd = t != "walk-sat"
         if has_pd:
             problem, state, active_b, rng = self._forward_core(
                 params, rng, batch, problem, init_state, iteration_num,
-                is_training, check_termination, replication, meta_e)
+                is_training, check_termination, replication, meta_e,
+                resume=resume)
         else:
             state = init_state
+            active_b = batch.instance_mask
+
+        if not finalize:
+            em = compute_edge_mask(batch, problem)
+            return (None, None), state, (problem, active_b, em)
 
         em = compute_edge_mask(batch, problem)
         rng, r_pred, r_ls = jax.random.split(rng, 3)
@@ -301,12 +321,15 @@ class PDPSolver:
 
     def _forward_core(self, params, rng, batch, problem, state,
                       iteration_num, is_training, check_termination,
-                      replication, meta_e=None):
+                      replication, meta_e=None, resume=None):
         """The hot loop (reference solver.py:355-386)."""
         t = self._t
         scorer_fn = self._scorer_fn(params, batch)
-        active0 = batch.instance_mask
-        em0 = jnp.ones_like(batch.edge_mask) * batch.edge_mask
+        if resume is not None:
+            active0, em0 = resume
+        else:
+            active0 = batch.instance_mask
+            em0 = jnp.ones_like(batch.edge_mask) * batch.edge_mask
 
         def iteration(carry, it):
             problem, state, active_b, em, rng = carry

@@ -139,3 +139,9 @@ def test_lazy_dataset_mode(tmp_path, monkeypatch):
     assert ids == [f"i{i}" for i in range(9)]
     # LRU stayed bounded
     assert len(loader._instances._cache) <= 3
+
+
+def test_compact_dedupes_repeated_literals():
+    # "1 1 2" -> [1, 2]; tautology "1 -1" -> last polarity wins: [-1]
+    n, clauses = compact(2, [[1, 1, 2], [1, -1]])
+    assert sorted(map(sorted, clauses)) == [[-1], [1, 2]]

@@ -106,3 +106,31 @@ def test_batch_replication_dedup_shapes(rng):
     assert pred.shape[0] == batch.num_vars
     frac = _solved_fraction(batch, insts, clause_lists, pred)
     assert frac >= 0.75
+
+
+def test_resumable_solve_matches_single_shot(rng):
+    """Chunked solving (carry/finalize) must land on the same decimation
+    state as one long solve with the same per-chunk rng stream."""
+    batch, clause_lists, insts = _make_batch(rng, 4, 15, 2.5)
+    solver = PDPSolver(SolverConfig(
+        model_type="p-d-p", tolerance=0.02, t_max=10,
+        local_search_iterations=30, epsilon=0.5))
+    params = {}
+    key = jax.random.PRNGKey(0)
+    r_init, r_fwd = jax.random.split(key)
+    state0 = solver.get_init_state(r_init, batch, randomized=True)
+
+    # chunked: 3 x 20 iterations, then finalize
+    state, carry = state0, None
+    for c in range(3):
+        _, state, carry = solver.forward(
+            params, jax.random.fold_in(r_fwd, c), batch, state, 20,
+            is_training=False, check_termination=True, carry=carry,
+            finalize=False)
+    (pred, _), _ = solver.forward(
+        params, jax.random.fold_in(r_fwd, 99), batch, state, 0,
+        is_training=False, check_termination=True, carry=carry,
+        finalize=True)
+    pred = np.asarray(pred)[:, 0]
+    frac = _solved_fraction(batch, insts, clause_lists, pred)
+    assert frac >= 0.75
