@@ -101,18 +101,21 @@ def main():
         fwd = lambda r, b, s, n: solve_chunked(r, b, s, n, chunk)
     else:
         fwd = jax.jit(solve, static_argnames="n_iters")
-    # warm-up / compile (cached afterwards)
+    # warm-up / compile (cached afterwards); in chunked mode compiling the
+    # three chunk programs via a 2-chunk run is enough and avoids paying the
+    # full budget twice
+    warm_iters = min(iters, 2 * chunk) if chunk > 0 else iters
     t0 = time.time()
-    jax.block_until_ready(fwd(r_fwd, batch, state, iters))
+    jax.block_until_ready(fwd(r_fwd, batch, state, warm_iters)[0])
     compile_and_first = time.time() - t0
 
-    # timed full solve
+    # timed full solve; the sync point is the device->host transfer of the
+    # solved count (block_until_ready has unreliable semantics on some PJRT
+    # tunnels, so time through an actual materialisation)
     t0 = time.time()
     pred, solved_dev = fwd(r_fwd, batch, state, iters)
-    jax.block_until_ready(pred)
-    wall = time.time() - t0
-
     solved = int(solved_dev)
+    wall = time.time() - t0
 
     # per-iteration slope without early termination (isolates the PDP
     # iteration cost from setup/walksat; every iteration actually executes)
@@ -124,14 +127,17 @@ def main():
 
     fwd_fixed = jax.jit(solve_fixed, static_argnames="n_iters")
     lo, hi = 50, 250
-    jax.block_until_ready(fwd_fixed(r_fwd, batch, state, lo))   # compile
-    jax.block_until_ready(fwd_fixed(r_fwd, batch, state, hi))
-    t0 = time.time()
-    jax.block_until_ready(fwd_fixed(r_fwd, batch, state, lo))
-    wall_lo = time.time() - t0
-    t0 = time.time()
-    jax.block_until_ready(fwd_fixed(r_fwd, batch, state, hi))
-    wall_hi = time.time() - t0
+
+    def run_fixed(n):
+        t0 = time.time()
+        out = fwd_fixed(r_fwd, batch, state, n)
+        float(jnp.sum(out))          # real sync via D2H
+        return time.time() - t0
+
+    run_fixed(lo)   # compile
+    run_fixed(hi)   # compile
+    wall_lo = run_fixed(lo)
+    wall_hi = run_fixed(hi)
     per_iter = max((wall_hi - wall_lo) / (hi - lo), 1e-9)
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

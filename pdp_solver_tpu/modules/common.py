@@ -9,9 +9,11 @@ graph masks) onto the packed edge list. Two interchangeable backends:
            tables (FGBatch.var_edges / clause_edges). No scatters at all -
            the TPU-native path.
 
-Selection: env PDP_SEGMENT_BACKEND in {auto, ell, scatter}; auto picks ell
-on TPU when the batch carries tables (zero-width tables mean the degree cap
-was exceeded and scatter is used).
+Selection: env PDP_SEGMENT_BACKEND in {auto, ell, scatter}. Measured on the
+available v5e, XLA's sorted-scatter path beats the ELL gather for these
+widths (tools/microbench_ops.py: SP sweep 27ms vs 51ms at E=524k), so auto
+currently resolves to scatter everywhere and ell stays opt-in for devices
+where gathers win.
 
 All module-level feature tensors are 2-D [N, d]; masks are 1-D [N] and are
 broadcast with `col()`.
@@ -43,9 +45,7 @@ def _use_ell(table):
         return False
     if table.shape[1] == 0:
         return False
-    if mode == "ell":
-        return True
-    return jax.default_backend() == "tpu"
+    return mode == "ell"
 
 
 def ell_sum(x_e, table):

@@ -1,0 +1,88 @@
+"""Pallas TPU kernel: segmented sum over SORTED segment ids via one-hot
+matmuls on the MXU.
+
+XLA lowers segment_sum to scatter-add, which serialises per element on TPU
+(measured ~90M updates/s on v5e - tools/microbench_ops.py). This kernel
+instead processes the edge list in tiles of T elements: within a tile it
+builds a one-hot matrix (ids relative to a lane-aligned window base) in VMEM
+and reduces with a single MXU matmul, accumulating into the output (resident
+in VMEM across the sequential TPU grid). Requirements:
+
+  * segment ids sorted ascending;
+  * ids gap-free over each tile's span (id[last] - id[first] < T) -
+    guaranteed for clause-sorted edges (every packed clause is non-empty);
+  * (num_segments + 2T) * 4 bytes fits in VMEM alongside the tiles
+    (fine up to ~1M segments).
+
+`sorted_segment_sum` falls back to jax.ops.segment_sum off-TPU unless
+interpret mode is forced (tests).
+"""
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from pdp_solver_tpu.ops.segment import segment_sum as xla_segment_sum
+
+TILE = 1024          # edges per grid step
+LANE = 128
+WINDOW = 2 * TILE    # lane-aligned output window per tile
+
+
+def _kernel(ids_ref, x_ref, out_ref):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    ids = ids_ref[:]                        # i32[T], sorted
+    x = x_ref[:]                            # f32[T]
+
+    # window base aligned down to the lane size so the dynamic output slice
+    # stays 128-aligned (TPU minor-dim requirement)
+    base = (ids[0] // LANE) * LANE
+    base = pl.multiple_of(base, LANE)
+    rel = ids - base                        # in [0, TILE + LANE) < WINDOW
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE, WINDOW), 1)
+    onehot = (rel[:, None] == col_ids).astype(jnp.float32)
+    # sums[j] = sum_t x[t] * onehot[t, j]  -> [1, W] = [1, T] @ [T, W]
+    sums = jnp.dot(x[None, :], onehot,
+                   preferred_element_type=jnp.float32)[0]
+
+    window = out_ref[pl.ds(base, WINDOW)]
+    out_ref[pl.ds(base, WINDOW)] = window + sums
+
+
+def sorted_segment_sum(x, segment_ids, num_segments, interpret=False):
+    """Segmented sum for sorted, gap-free ids; x: f32[E] -> f32[num_segments].
+
+    Pads E up to a TILE multiple (pad rows reuse the last id with zero
+    value) and the output up to a WINDOW-aligned size so the windowed
+    accumulation stays in bounds.
+    """
+    if not (jax.default_backend() == "tpu" or interpret):
+        return xla_segment_sum(x, segment_ids, num_segments,
+                               indices_are_sorted=True)
+
+    E = x.shape[0]
+    E_pad = -(-E // TILE) * TILE
+    N_pad = -(-num_segments // WINDOW) * WINDOW + WINDOW
+    if E_pad != E:
+        pad_id = segment_ids[-1]
+        segment_ids = jnp.concatenate(
+            [segment_ids, jnp.full((E_pad - E,), pad_id, segment_ids.dtype)])
+        x = jnp.concatenate([x, jnp.zeros((E_pad - E,), x.dtype)])
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=(E_pad // TILE,),
+        in_specs=[
+            pl.BlockSpec((TILE,), lambda i: (i,)),
+            pl.BlockSpec((TILE,), lambda i: (i,)),
+        ],
+        out_specs=pl.BlockSpec((N_pad,), lambda i: (0,)),
+        out_shape=jax.ShapeDtypeStruct((N_pad,), jnp.float32),
+        interpret=interpret,
+    )(segment_ids, x)
+    return out[:num_segments]
