@@ -78,7 +78,16 @@ def scatter_to_vars(batch: FGBatch, x_e):
 
 
 def scatter_to_clauses(batch: FGBatch, x_e):
-    """mm(function_mask [FxE], x): sum each clause's edge rows."""
+    """mm(function_mask [FxE], x): sum each clause's edge rows.
+
+    Clause ids are sorted and gap-free by construction (fg/batch.py packs
+    edges clause-major and empty clauses never exist), which is exactly the
+    contract of the Pallas MXU kernel - enabled with
+    PDP_SEGMENT_BACKEND=pallas for width-1 reductions."""
+    if _backend() == "pallas" and x_e.ndim == 1:
+        from pdp_solver_tpu.ops.pallas_segment import sorted_segment_sum
+        return sorted_segment_sum(x_e * batch.edge_mask, batch.edge_clause,
+                                  batch.num_clauses)
     if _use_ell(batch.clause_edges):
         return ell_sum(x_e, batch.clause_edges)
     m = batch.edge_mask if x_e.ndim == 1 else col(batch.edge_mask)

@@ -39,3 +39,25 @@ def test_single_segment(rng):
     got = np.asarray(sorted_segment_sum(
         jnp.asarray(x), jnp.asarray(ids), 4, interpret=True))
     np.testing.assert_allclose(got, [100, 0, 0, 0])
+
+
+def test_pallas_backend_matches_scatter_in_solver_ops(rng, monkeypatch):
+    """PDP_SEGMENT_BACKEND=pallas must agree with scatter on real batches.
+
+    Off-TPU the dispatch falls back to XLA (same numbers); this guards the
+    wiring. On-TPU the same env var exercises the MXU kernel."""
+    import os
+    import jax
+    from pdp_solver_tpu.fg.batch import pack_instances
+    from pdp_solver_tpu.modules import common
+    from tests.helpers import cnf_instance, random_ksat
+
+    insts = [cnf_instance(10, random_ksat(rng, 10, 25)) for _ in range(3)]
+    batch = pack_instances(insts)
+    x = jnp.asarray(rng.normal(size=batch.num_edges).astype(np.float32))
+
+    monkeypatch.setenv("PDP_SEGMENT_BACKEND", "scatter")
+    a = np.asarray(common.scatter_to_clauses(batch, x))
+    monkeypatch.setenv("PDP_SEGMENT_BACKEND", "pallas")
+    b = np.asarray(common.scatter_to_clauses(batch, x))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
