@@ -38,7 +38,7 @@ def main():
     # chunk very long budgets into bounded program executions (resumable
     # solve); 0 = single program. Defaults to 100-iteration chunks on TPU
     # where extremely long-running single programs can trip device limits.
-    default_chunk = "100" if jax.default_backend() == "tpu" else "0"
+    default_chunk = "50" if jax.default_backend() == "tpu" else "0"
     chunk = int(os.environ.get("BENCH_CHUNK", default_chunk))
 
     insts = make_ksat_set()

@@ -143,7 +143,8 @@ def sequential_decimator_apply(cfg: SeqDecimatorConfig,
         survey_v = common.var_smooth_max(batch, eta)
         survey_v = survey_v * problem.active_vars
         survey_b = segment_max_shifted(survey_v, batch.var_batch, B,
-                                       valid=batch.var_mask)
+                                       valid=batch.var_mask,
+                                       indices_are_sorted=True)
         active_instances = jnp.where(survey_b <= 1e-10, 0.0, active_instances)
 
     # gate: skip decimation on the first iteration or when nothing is active
@@ -155,7 +156,8 @@ def sequential_decimator_apply(cfg: SeqDecimatorConfig,
     diff_v = common.var_smooth_max(batch, diff)
     diff_v = diff_v * problem.active_vars
     diff_b = segment_max_shifted(diff_v, batch.var_batch, B,
-                                 valid=batch.var_mask)
+                                 valid=batch.var_mask,
+                                 indices_are_sorted=True)
 
     converged = (diff_b < cfg.tolerance).astype(jnp.float32)
     counters = jnp.where(converged > 0, 0.0, seq_state.counters)
@@ -171,8 +173,10 @@ def sequential_decimator_apply(cfg: SeqDecimatorConfig,
     score = scorer_fn(message_state, problem)[:, 0]          # [V]
     coeff = jnp.abs(score) * problem.active_vars * flag_b[batch.var_batch]
     max_ind = segment_argmax_first(coeff, batch.var_batch, B,
-                                   valid=batch.var_mask)
-    norm_b = segment_sum(coeff, batch.var_batch, B)
+                                   valid=batch.var_mask,
+                                   indices_are_sorted=True)
+    norm_b = segment_sum(coeff, batch.var_batch, B,
+                         indices_are_sorted=True)
 
     decimate_b = flag_b * (norm_b != 0).astype(jnp.float32)
     if active_instances is not None:
@@ -237,7 +241,8 @@ def reinforce_decimator_apply(cfg: ReinforceDecimatorConfig,
         diff_v = common.var_smooth_max(batch, diff)
         diff_v = diff_v * problem.active_vars
         diff_b = segment_max_shifted(diff_v, batch.var_batch, B,
-                                     valid=batch.var_mask)
+                                     valid=batch.var_mask,
+                                     indices_are_sorted=True)
         deactivate = jnp.logical_and(diff_b <= 0.01, gate > 0)
         active_instances = jnp.where(deactivate, 0.0, active_instances)
 

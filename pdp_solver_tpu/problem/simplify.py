@@ -76,7 +76,8 @@ def unit_propagate(batch: FGBatch, state: ProblemState) -> ProblemState:
         # conflicting variables are forced both ways by unit clauses
         conflict = ((jnp.abs(var_eval) != input_num).astype(jnp.float32)
                     * state.active_vars)
-        unsat_count = segment_sum(conflict, batch.var_batch, B)
+        unsat_count = segment_sum(conflict, batch.var_batch, B,
+                                  indices_are_sorted=True)
         unsat_b = unsat_count >= 1
         is_sat = jnp.where(unsat_b, 0.0, state.is_sat)
         active_vars = jnp.where(unsat_b[batch.var_batch], 0.0,

@@ -402,12 +402,24 @@ class PDPSolver:
 
     # -- WalkSAT local search -------------------------------------------
 
-    def _local_search(self, rng, batch, problem, var_pred, replication):
+    def local_search(self, rng, batch, problem, var_pred, iterations,
+                     replication=1):
+        """Public continuation-friendly WalkSAT: runs `iterations` flips from
+        the given prediction and returns the improved prediction. Feeding the
+        output back in with a fresh rng continues the search (thresholding
+        is idempotent on 0/1 assignments), which chunks very long local-search
+        budgets into bounded program executions."""
+        return self._local_search(rng, batch, problem, var_pred, replication,
+                                  iterations)
+
+    def _local_search(self, rng, batch, problem, var_pred, replication,
+                      iterations=None):
         """Reference _local_search (solver.py:433-467): epsilon-greedy WalkSAT
         on the still-active subgraph, one flip per instance per iteration."""
         V, B = batch.num_vars, batch.batch_size
         eps = self.cfg.epsilon
-        iters = self.cfg.local_search_iterations
+        iters = (self.cfg.local_search_iterations
+                 if iterations is None else iterations)
 
         assign = (var_pred[:, 0] > 0.5).astype(jnp.float32)
         assign = problem.active_vars * (2.0 * assign - 1.0)
@@ -434,14 +446,16 @@ class PDPSolver:
 
             delta = _compute_energy_diff(batch, problem, assign, em)
             best_ind = segment_argmax_first(-delta, batch.var_batch, B,
-                                            valid=batch.var_mask)
+                                            valid=batch.var_mask,
+                                            indices_are_sorted=True)
 
             unsat_e = unsat_f[batch.edge_clause] * batch.edge_mask
             unsat_v = (common.scatter_to_vars(batch, unsat_e)
                        * problem.active_vars > 0).astype(jnp.float32)
             noise = unsat_v * jax.random.uniform(r_rand, (V,))
             rand_ind = segment_argmax_first(noise, batch.var_batch, B,
-                                            valid=batch.var_mask)
+                                            valid=batch.var_mask,
+                                            indices_are_sorted=True)
 
             coin = (jax.random.uniform(r_coin, (B,)) > eps)
             chosen = jnp.where(coin, best_ind, rand_ind)
@@ -522,7 +536,8 @@ def _compute_energy(batch: FGBatch, problem: ProblemState, assign):
     deg_e = problem.active_vars[batch.edge_var] * batch.edge_mask
     degree = common.scatter_to_clauses(batch, deg_e)
     unsat = (agg == -degree).astype(jnp.float32) * problem.active_clauses
-    energy = segment_sum(unsat, batch.clause_batch, B)
+    energy = segment_sum(unsat, batch.clause_batch, B,
+                         indices_are_sorted=True)
     return energy, unsat
 
 

@@ -61,7 +61,9 @@ def cnf_evaluate(batch: FGBatch, variable_prediction):
                   > 0).astype(jnp.float32)
     clause_sat = clause_sat * batch.clause_mask
 
-    max_sat = segment_sum(batch.clause_mask, batch.clause_batch, B)
-    got_sat = segment_sum(clause_sat, batch.clause_batch, B)
+    max_sat = segment_sum(batch.clause_mask, batch.clause_batch, B,
+                          indices_are_sorted=True)
+    got_sat = segment_sum(clause_sat, batch.clause_batch, B,
+                          indices_are_sorted=True)
     solved = (max_sat == got_sat).astype(jnp.float32)
     return solved, max_sat - got_sat
