@@ -111,11 +111,20 @@ def main():
 
     # timed full solve; the sync point is the device->host transfer of the
     # solved count (block_until_ready has unreliable semantics on some PJRT
-    # tunnels, so time through an actual materialisation)
-    t0 = time.time()
-    pred, solved_dev = fwd(r_fwd, batch, state, iters)
-    solved = int(solved_dev)
-    wall = time.time() - t0
+    # tunnels, so time through an actual materialisation). One retry with
+    # half-size chunks if the device objects mid-run.
+    try:
+        t0 = time.time()
+        pred, solved_dev = fwd(r_fwd, batch, state, iters)
+        solved = int(solved_dev)
+        wall = time.time() - t0
+    except Exception:
+        chunk = max(chunk // 2, 10) if chunk else 25
+        fwd = lambda r, b, s, n: solve_chunked(r, b, s, n, chunk)
+        t0 = time.time()
+        pred, solved_dev = fwd(r_fwd, batch, state, iters)
+        solved = int(solved_dev)
+        wall = time.time() - t0
 
     # per-iteration slope without early termination (isolates the PDP
     # iteration cost from setup/walksat; every iteration actually executes).
