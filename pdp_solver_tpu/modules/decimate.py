@@ -41,6 +41,7 @@ class NeuralDecimatorConfig:
     hidden_dim: int
     edge_dim: int
     dropout: float
+    compute_dtype: str = "float32"
 
 
 def neural_decimator_init(rng, cfg: NeuralDecimatorConfig):
@@ -68,12 +69,21 @@ def neural_decimator_apply(params, cfg: NeuralDecimatorConfig, batch: FGBatch,
     def with_meta(x):
         return x if meta_e is None else jnp.concatenate([x, meta_e], axis=1)
 
+    if cfg.compute_dtype == "bfloat16":
+        def gru(p, x, h):
+            out = mlp.gru_cell_apply(mlp.cast_tree(p, jnp.bfloat16),
+                                     x.astype(jnp.bfloat16),
+                                     h.astype(jnp.bfloat16))
+            return out.astype(h.dtype)
+    else:
+        gru = mlp.gru_cell_apply
+
     v_in = with_meta(jnp.concatenate([msg_var, feat], axis=1))
-    var_state = (mask * mlp.gru_cell_apply(params["var_gru"], v_in, old_var)
+    var_state = (mask * gru(params["var_gru"], v_in, old_var)
                  + (1.0 - mask) * old_var)
 
     f_in = with_meta(jnp.concatenate([msg_fn, feat], axis=1))
-    fn_state = (mask * mlp.gru_cell_apply(params["fn_gru"], f_in, old_fn)
+    fn_state = (mask * gru(params["fn_gru"], f_in, old_fn)
                 + (1.0 - mask) * old_fn)
 
     return var_state, fn_state

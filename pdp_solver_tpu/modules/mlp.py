@@ -120,15 +120,29 @@ def aggregator_init(rng, cfg: AggregatorConfig):
     return p
 
 
+def cast_tree(tree, dtype):
+    """Cast every leaf to dtype (mixed-precision compute helper)."""
+    return jax.tree_util.tree_map(lambda x: x.astype(dtype), tree)
+
+
 def aggregator_apply(p, cfg: AggregatorConfig, batch: FGBatch, state_e,
-                     feature_e, orient: str, edge_mask_e=None):
+                     feature_e, orient: str, edge_mask_e=None, dtype=None):
     """Deep-set aggregation (reference util.py:51-77).
 
     orient='var': aggregate over each variable's edges (variable_mask);
     orient='clause': over each clause's edges. include_self=False subtracts
     the self message and returns edge-level rows; include_self=True returns
-    node-level rows.
+    node-level rows. With dtype=bfloat16 the MLP transforms and reductions
+    run in bf16 (MXU fast path) and the result is returned in f32.
     """
+    out_dtype = state_e.dtype
+    if dtype is not None:
+        p = cast_tree(p, dtype)
+        state_e = state_e.astype(dtype)
+        if feature_e is not None:
+            feature_e = feature_e.astype(dtype)
+        if edge_mask_e is not None:
+            edge_mask_e = edge_mask_e.astype(dtype)
     if cfg.mem_hidden_dim > 0 and cfg.mem_agg_hidden_dim > 0:
         state_e = jax.nn.log_sigmoid(
             linear_apply(p["w2_m"],
@@ -156,4 +170,4 @@ def aggregator_apply(p, cfg: AggregatorConfig, batch: FGBatch, state_e,
         agg = jax.nn.log_sigmoid(
             linear_apply(p["w2_a"],
                          jax.nn.log_sigmoid(linear_apply(p["w1_a"], agg))))
-    return agg
+    return agg.astype(out_dtype) if dtype is not None else agg

@@ -27,6 +27,7 @@ class NeuralPredictorConfig:
     mem_agg_hidden_dim: int
     classifier_dim: int
     classifier_kind: str = "sigmoid"  # 'sigmoid' (Perceptron) | 'tanh'
+    compute_dtype: str = "float32"
 
     def aggregator_cfg(self):
         return mlp.AggregatorConfig(
@@ -58,8 +59,10 @@ def neural_predictor_apply(params, cfg: NeuralPredictorConfig, batch: FGBatch,
     agg_in = jnp.concatenate([dec_var, feat], axis=1)
     if meta_e is not None:
         agg_in = jnp.concatenate([agg_in, meta_e], axis=1)
+    cdtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None)
     agg_v = mlp.aggregator_apply(params["var_agg"], cfg.aggregator_cfg(),
-                                 batch, agg_in, None, "var", edge_mask)
+                                 batch, agg_in, None, "var", edge_mask,
+                                 dtype=cdtype)
     if cfg.classifier_kind == "tanh":
         pred = mlp.perceptron_tanh_apply(params["classifier"], agg_v)
     else:

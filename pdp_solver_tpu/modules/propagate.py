@@ -35,6 +35,7 @@ class NeuralPropagatorConfig:
     mem_agg_hidden_dim: int
     agg_hidden_dim: int
     dropout: float
+    compute_dtype: str = "float32"   # 'bfloat16' for MXU mixed precision
 
     def aggregator_cfg(self):
         return mlp.AggregatorConfig(
@@ -71,17 +72,19 @@ def neural_propagator_apply(params, cfg: NeuralPropagatorConfig, rng,
     def with_meta(x):
         return x if meta_e is None else jnp.concatenate([x, meta_e], axis=1)
 
+    cdtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None)
+
     # variables -> functions
     dv_in = with_meta(jnp.concatenate([dec_var, feat], axis=1))
     fn_new = mlp.aggregator_apply(params["var_agg"], acfg, batch, dv_in,
-                                  feat, "var", edge_mask)
+                                  feat, "var", edge_mask, dtype=cdtype)
     fn_state = mask * fn_new + (1.0 - mask) * fn_state
     fn_state = common.dropout(r1, fn_state, cfg.dropout, is_training)
 
     # functions -> variables
     df_in = with_meta(jnp.concatenate([dec_fn, feat], axis=1))
     var_new = mlp.aggregator_apply(params["fn_agg"], acfg, batch, df_in,
-                                   feat, "clause", edge_mask)
+                                   feat, "clause", edge_mask, dtype=cdtype)
     var_state = mask * var_new + (1.0 - mask) * var_state
     var_state = common.dropout(r2, var_state, cfg.dropout, is_training)
 

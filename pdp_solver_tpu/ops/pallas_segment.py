@@ -24,9 +24,10 @@ from jax.experimental import pallas as pl
 
 from pdp_solver_tpu.ops.segment import segment_sum as xla_segment_sum
 
-TILE = 1024          # edges per grid step
-LANE = 128
-WINDOW = 2 * TILE    # lane-aligned output window per tile
+TILE = 512           # edges per grid step
+ALIGN = 1024         # Mosaic requires the dynamic window start provably
+                     # aligned to its vector width; align down to 1024
+WINDOW = 2048        # output window per tile (>= ALIGN + TILE span)
 
 
 def _kernel(ids_ref, x_ref, out_ref):
@@ -39,11 +40,11 @@ def _kernel(ids_ref, x_ref, out_ref):
     ids = ids_ref[:]                        # i32[T], sorted
     x = x_ref[:]                            # f32[T]
 
-    # window base aligned down to the lane size so the dynamic output slice
-    # stays 128-aligned (TPU minor-dim requirement)
-    base = (ids[0] // LANE) * LANE
-    base = pl.multiple_of(base, LANE)
-    rel = ids - base                        # in [0, TILE + LANE) < WINDOW
+    # window base aligned down so the dynamic output slice start is a
+    # provable multiple of the vector width Mosaic picks
+    base = (ids[0] // ALIGN) * ALIGN
+    base = pl.multiple_of(base, ALIGN)
+    rel = ids - base                        # in [0, ALIGN + TILE) < WINDOW
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE, WINDOW), 1)
     onehot = (rel[:, None] == col_ids).astype(jnp.float32)
     # sums[j] = sum_t x[t] * onehot[t, j]  -> [1, W] = [1, T] @ [T, W]
@@ -67,7 +68,7 @@ def sorted_segment_sum(x, segment_ids, num_segments, interpret=False):
 
     E = x.shape[0]
     E_pad = -(-E // TILE) * TILE
-    N_pad = -(-num_segments // WINDOW) * WINDOW + WINDOW
+    N_pad = -(-num_segments // ALIGN) * ALIGN + WINDOW
     if E_pad != E:
         pad_id = segment_ids[-1]
         segment_ids = jnp.concatenate(

@@ -59,6 +59,10 @@ class SolverConfig:
     decimation_probability: float = 0.5
     local_search_iterations: int = 0
     epsilon: float = 0.05
+    # 'bfloat16' runs the neural aggregator/GRU/classifier compute in bf16
+    # (MXU fast path); message/state storage and all classical SP math stay
+    # f32 (the log-space clamps are not bf16-safe)
+    compute_dtype: str = "float32"
 
 
 class SolverState(NamedTuple):
@@ -85,7 +89,8 @@ class PDPSolver:
                 meta_dim=c.meta_dim, hidden_dim=c.hidden_dim,
                 mem_hidden_dim=c.mem_hidden_dim,
                 mem_agg_hidden_dim=c.mem_agg_hidden_dim,
-                agg_hidden_dim=c.agg_hidden_dim, dropout=c.dropout)
+                agg_hidden_dim=c.agg_hidden_dim, dropout=c.dropout,
+                compute_dtype=c.compute_dtype)
         elif t in ("p-nd-np", "p-d-p", "reinforce"):
             self.prop_cfg = PR.SurveyPropagatorConfig(
                 decimator_dim=c.hidden_dim,
@@ -98,7 +103,8 @@ class PDPSolver:
             self.dec_cfg = D.NeuralDecimatorConfig(
                 var_message_dim=c.hidden_dim, fn_message_dim=c.hidden_dim,
                 meta_dim=c.meta_dim, hidden_dim=c.hidden_dim,
-                edge_dim=c.edge_dim, dropout=c.dropout)
+                edge_dim=c.edge_dim, dropout=c.dropout,
+                compute_dtype=c.compute_dtype)
         elif t == "p-nd-np":
             # SP messages are [E,3] var / [E,2] fn; the reference declares
             # (3, 1) here (solver.py:555) which cannot consume the [E,2]
@@ -106,7 +112,7 @@ class PDPSolver:
             self.dec_cfg = D.NeuralDecimatorConfig(
                 var_message_dim=3, fn_message_dim=2, meta_dim=c.meta_dim,
                 hidden_dim=c.hidden_dim, edge_dim=c.edge_dim,
-                dropout=c.dropout)
+                dropout=c.dropout, compute_dtype=c.compute_dtype)
         elif t in ("np-d-np", "p-d-p"):
             self.dec_cfg = D.SeqDecimatorConfig(tolerance=c.tolerance,
                                                 t_max=c.t_max)
@@ -123,7 +129,8 @@ class PDPSolver:
                 mem_hidden_dim=c.mem_hidden_dim,
                 agg_hidden_dim=c.agg_hidden_dim,
                 mem_agg_hidden_dim=c.mem_agg_hidden_dim,
-                classifier_dim=c.classifier_dim, classifier_kind="sigmoid")
+                classifier_dim=c.classifier_dim, classifier_kind="sigmoid",
+                compute_dtype=c.compute_dtype)
         elif t == "np-d-np":
             # scorer = neural predictor with tanh head (solver.py:630-634)
             self.scorer_cfg = P.NeuralPredictorConfig(
@@ -499,6 +506,7 @@ def build_solver(config) -> PDPSolver:
         decimation_probability=c.get("decimation_probability", 0.5),
         local_search_iterations=c.get("local_search_iteration", 0),
         epsilon=c.get("epsilon", 0.05),
+        compute_dtype=c.get("compute_dtype", "float32"),
     ))
 
 
