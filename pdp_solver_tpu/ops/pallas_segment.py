@@ -24,7 +24,7 @@ from jax.experimental import pallas as pl
 
 from pdp_solver_tpu.ops.segment import segment_sum as xla_segment_sum
 
-TILE = 512           # edges per grid step
+TILE = 1024          # edges per grid step (XLA lays out 1-D i32 as T(1024))
 ALIGN = 1024         # Mosaic requires the dynamic window start provably
                      # aligned to its vector width; align down to 1024
 WINDOW = 2048        # output window per tile (>= ALIGN + TILE span)
