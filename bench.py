@@ -192,7 +192,7 @@ def main():
                                      if ref else None),
         "iters": iters,
         "wall_s": round(wall, 3),
-        "compile_s": round(compile_and_first - wall, 1),
+        "warmup_s": round(compile_and_first, 1),
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
         "dataset_fingerprint": dataset_fingerprint(insts),

@@ -82,9 +82,13 @@ def scatter_to_clauses(batch: FGBatch, x_e):
 
     Clause ids are sorted and gap-free by construction (fg/batch.py packs
     edges clause-major and empty clauses never exist), which is exactly the
-    contract of the Pallas MXU kernel - enabled with
-    PDP_SEGMENT_BACKEND=pallas for width-1 reductions."""
-    if _backend() == "pallas" and x_e.ndim == 1:
+    contract of the Pallas MXU kernel - the default on TPU for width-1
+    reductions (measured 1.8x over scatter per op and ~9% on the full
+    solve, docs/PERFORMANCE.md); PDP_SEGMENT_BACKEND overrides."""
+    mode = _backend()
+    use_pallas = (mode == "pallas"
+                  or (mode == "auto" and jax.default_backend() == "tpu"))
+    if use_pallas and x_e.ndim == 1:
         from pdp_solver_tpu.ops.pallas_segment import sorted_segment_sum
         return sorted_segment_sum(x_e * batch.edge_mask, batch.edge_clause,
                                   batch.num_clauses)
