@@ -121,11 +121,13 @@ def aggregate_minus_self_clause(batch: FGBatch, x_e):
 def var_smooth_max(batch: FGBatch, x_e, alpha=30.0):
     """Per-variable smooth-max over incident edges
     (reference sparse_smooth_max, util.py:282-286): x_e must already carry
-    any liveness mask; padding edges are excluded from both sums."""
+    any liveness mask; padding edges are excluded from both sums.
+
+    Numerator and denominator ride one stacked [E,2] reduction - on the
+    kernel-count-bound TPU every fused column is a whole op saved."""
     coeff = safe_exp(alpha * x_e) * batch.edge_mask
-    num = scatter_to_vars(batch, x_e * coeff)
-    den = scatter_to_vars(batch, coeff)
-    return num / jnp.maximum(den, 1.0)
+    nd = scatter_to_vars(batch, jnp.stack([x_e * coeff, coeff], axis=1))
+    return nd[:, 0] / jnp.maximum(nd[:, 1], 1.0)
 
 
 def instances_to_edges(batch: FGBatch, x_b):

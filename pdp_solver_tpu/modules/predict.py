@@ -107,7 +107,6 @@ def survey_scorer_apply(params, cfg: SurveyScorerConfig, batch: FGBatch,
         eta = fn_msg[:, 0:1]
         force_e = fn_msg[:, 1:2]
 
-    external_force = jnp.sign(common.scatter_to_vars(batch, force_e))
     fm = safe_log(1.0 - eta, LOG_EPS_SCORE)
 
     # messages from deactivated clauses are excluded (pdp_predict.py:171-172)
@@ -117,15 +116,20 @@ def survey_scorer_apply(params, cfg: SurveyScorerConfig, batch: FGBatch,
 
     pos_w = (batch.edge_sign == 1).astype(jnp.float32)
     neg_w = (batch.edge_sign == -1).astype(jnp.float32)
-    pos = common.scatter_to_vars(batch, fm * col(pos_w)) + safe_log(
+    # force / positive / negative / don't-care aggregations all ride one
+    # stacked [E,4] reduction
+    agg = common.scatter_to_vars(batch, jnp.concatenate(
+        [force_e, fm * col(pos_w), fm * col(neg_w), fm], axis=1))
+    external_force = jnp.sign(agg[:, 0:1])
+    pos = agg[:, 1:2] + safe_log(
         1.0 - cfg.pi * (external_force == 1).astype(jnp.float32),
         LOG_EPS_SCORE)
-    neg = common.scatter_to_vars(batch, fm * col(neg_w)) + safe_log(
+    neg = agg[:, 2:3] + safe_log(
         1.0 - cfg.pi * (external_force == -1).astype(jnp.float32),
         LOG_EPS_SCORE)
 
     pns = pos + neg
-    dont_care = common.scatter_to_vars(batch, fm) + safe_log(
+    dont_care = agg[:, 3:4] + safe_log(
         jnp.asarray(1.0 - cfg.pi, jnp.float32), LOG_EPS_SCORE)
 
     bias = (2.0 * pns + dont_care) / 4.0

@@ -161,10 +161,13 @@ def survey_propagator_apply(params, cfg: SurveyPropagatorConfig,
 
     pos_w = (batch.edge_sign == 1).astype(jnp.float32)
     neg_w = (batch.edge_sign == -1).astype(jnp.float32)
-    pos = common.gather_from_vars(
-        batch, common.scatter_to_vars(batch, log1m * col(pos_w)))
-    neg = common.gather_from_vars(
-        batch, common.scatter_to_vars(batch, log1m * col(neg_w)))
+    # both polarity aggregations ride one stacked [E,2] reduction
+    pn = common.gather_from_vars(
+        batch, common.scatter_to_vars(
+            batch, jnp.concatenate([log1m * col(pos_w),
+                                    log1m * col(neg_w)], axis=1)))
+    pos = pn[:, 0:1]
+    neg = pn[:, 1:2]
 
     same_sign = 0.5 * (1 + ef) * pos + 0.5 * (1 - ef) * neg - log1m
     same_sign = same_sign + safe_log(

@@ -30,9 +30,12 @@ def set_variable_core(batch: FGBatch, state: ProblemState,
     assignment = assignment * state.active_vars
 
     a_e = assignment[batch.edge_var] * batch.edge_mask
-    # number of assigned inputs / signed evaluation per clause (edge sums)
-    input_num = scatter_to_clauses(batch, jnp.abs(a_e))
-    clause_eval = scatter_to_clauses(batch, batch.edge_sign * a_e)
+    # number of assigned inputs / signed evaluation per clause, one stacked
+    # [E,2] reduction
+    ie = scatter_to_clauses(
+        batch, jnp.stack([jnp.abs(a_e), batch.edge_sign * a_e], axis=1))
+    input_num = ie[:, 0]
+    clause_eval = ie[:, 1]
 
     # a clause with at least one satisfying assigned literal is removed
     satisfied = (clause_eval > -input_num) & (state.active_clauses > 0)
@@ -70,8 +73,10 @@ def unit_propagate(batch: FGBatch, state: ProblemState) -> ProblemState:
     def body(carry):
         state, single = carry
         s_e = single[batch.edge_clause] * batch.edge_mask
-        input_num = scatter_to_vars(batch, s_e)
-        var_eval = scatter_to_vars(batch, batch.edge_sign * s_e)
+        ie = scatter_to_vars(
+            batch, jnp.stack([s_e, batch.edge_sign * s_e], axis=1))
+        input_num = ie[:, 0]
+        var_eval = ie[:, 1]
 
         # conflicting variables are forced both ways by unit clauses
         conflict = ((jnp.abs(var_eval) != input_num).astype(jnp.float32)
@@ -113,8 +118,10 @@ def peel(batch: FGBatch, state: ProblemState) -> ProblemState:
     """
     V, F = batch.num_vars, batch.num_clauses
     e_clause_active = state.active_clauses[batch.edge_clause] * batch.edge_mask
-    degree = scatter_to_vars(batch, e_clause_active)
-    signed_degree = scatter_to_vars(batch, batch.edge_sign * e_clause_active)
+    ds = scatter_to_vars(batch, jnp.stack(
+        [e_clause_active, batch.edge_sign * e_clause_active], axis=1))
+    degree = ds[:, 0]
+    signed_degree = ds[:, 1]
 
     def pure_vars(state, degree, signed_degree):
         return ((degree == jnp.abs(signed_degree)).astype(jnp.float32)
@@ -133,9 +140,10 @@ def peel(batch: FGBatch, state: ProblemState) -> ProblemState:
         single_f = (touched > 0).astype(jnp.float32) * state.active_clauses
 
         f_e = single_f[batch.edge_clause] * batch.edge_mask
-        delta = scatter_to_vars(batch, f_e) * state.active_vars
-        signed_delta = (scatter_to_vars(batch, batch.edge_sign * f_e)
-                        * state.active_vars)
+        dd = scatter_to_vars(
+            batch, jnp.stack([f_e, batch.edge_sign * f_e], axis=1))
+        delta = dd[:, 0] * state.active_vars
+        signed_delta = dd[:, 1] * state.active_vars
 
         solution = jnp.where(
             single_v == 1,

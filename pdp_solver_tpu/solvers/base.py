@@ -538,11 +538,12 @@ def _compute_energy(batch: FGBatch, problem: ProblemState, assign):
     """#unsat active clauses per instance (reference solver.py:486-496).
     assign: f32[V] in {-1, 0, +1}. Returns (energy f32[B], unsat f32[F])."""
     F, B = batch.num_clauses, batch.batch_size
-    a_e = (batch.edge_sign * (assign * problem.active_vars)[batch.edge_var]
-           * batch.edge_mask)
-    agg = common.scatter_to_clauses(batch, a_e)
+    av_e = (assign * problem.active_vars)[batch.edge_var] * batch.edge_mask
     deg_e = problem.active_vars[batch.edge_var] * batch.edge_mask
-    degree = common.scatter_to_clauses(batch, deg_e)
+    ad = common.scatter_to_clauses(
+        batch, jnp.stack([batch.edge_sign * av_e, deg_e], axis=1))
+    agg = ad[:, 0]
+    degree = ad[:, 1]
     unsat = (agg == -degree).astype(jnp.float32) * problem.active_clauses
     energy = segment_sum(unsat, batch.clause_batch, B,
                          indices_are_sorted=True)
@@ -556,13 +557,12 @@ def _compute_energy_diff(batch: FGBatch, problem: ProblemState, assign, em):
     V, F = batch.num_vars, batch.num_clauses
     dist = (batch.edge_sign * (assign * problem.active_vars)[batch.edge_var]
             * batch.edge_mask)
-    agg = common.gather_from_clauses(
-        batch, common.scatter_to_clauses(batch, dist))
-    agg = agg - dist
-
     deg_e = problem.active_vars[batch.edge_var] * batch.edge_mask
-    degree = common.gather_from_clauses(
-        batch, common.scatter_to_clauses(batch, deg_e))
+    ad = common.gather_from_clauses(
+        batch, common.scatter_to_clauses(
+            batch, jnp.stack([dist, deg_e], axis=1)))
+    agg = ad[:, 0] - dist
+    degree = ad[:, 1]
 
     critical = (agg == (1.0 - degree)).astype(jnp.float32) * em
     return common.scatter_to_vars(batch, critical * dist)

@@ -61,9 +61,10 @@ def cnf_evaluate(batch: FGBatch, variable_prediction):
                   > 0).astype(jnp.float32)
     clause_sat = clause_sat * batch.clause_mask
 
-    max_sat = segment_sum(batch.clause_mask, batch.clause_batch, B,
-                          indices_are_sorted=True)
-    got_sat = segment_sum(clause_sat, batch.clause_batch, B,
-                          indices_are_sorted=True)
+    counts = segment_sum(
+        jnp.stack([batch.clause_mask, clause_sat], axis=1),
+        batch.clause_batch, B, indices_are_sorted=True)
+    max_sat = counts[:, 0]
+    got_sat = counts[:, 1]
     solved = (max_sat == got_sat).astype(jnp.float32)
     return solved, max_sat - got_sat
