@@ -25,18 +25,29 @@ def parse_dimacs(path):
         return n, m, clauses
 
     clauses = []
+    current = []
     n = m = 0
     with open(path, "r") as f:
         for line in f:
             seg = line.split()
-            if not seg or seg[0] == "c":
+            if not seg or seg[0] == "c" or seg[0] == "%":
                 continue
             if seg[0] == "p":
                 n, m = int(seg[2]), int(seg[3])
                 continue
-            lits = [int(x) for x in seg if x != "0" and x != "%"]
-            if lits:
-                clauses.append(lits)
+            # clauses are 0-terminated and may span or share lines
+            for tok in seg:
+                if tok == "%":
+                    break
+                lit = int(tok)
+                if lit == 0:
+                    if current:
+                        clauses.append(current)
+                        current = []
+                else:
+                    current.append(lit)
+    if current:
+        clauses.append(current)
     return n, m, clauses
 
 
@@ -45,19 +56,28 @@ def compact(n, clauses, propagate=False):
     dimacs2json.py:47-51); optionally drop subsumed clauses
     (`_propagate_constraints`, dimacs2json.py:58-83).
 
-    Repeated literals within a clause are deduplicated with last-polarity-
-    wins semantics, matching the reference's dense clause x var matrix
-    assignment (dimacs2json.py:44: a repeated variable overwrites its cell,
-    so "1 -1" collapses to "-1").
+    Repeated same-polarity literals are deduplicated and tautological
+    clauses (x OR NOT x) are dropped entirely - they are always satisfied,
+    so removing them preserves the formula. (The reference's dense matrix
+    build instead overwrites with the LAST polarity, dimacs2json.py:44,
+    which can flip a satisfiable formula to unsatisfiable; that is a data
+    corruption we deliberately do not copy.)
 
     Returns (n', clauses') with variables renumbered 1..n'.
     """
     deduped = []
     for c in clauses:
         polarity = {}
+        tautology = False
         for lit in c:
-            polarity[abs(lit)] = 1 if lit > 0 else -1
-        deduped.append([v * s for v, s in polarity.items()])
+            v = abs(lit)
+            sgn = 1 if lit > 0 else -1
+            if v in polarity and polarity[v] != sgn:
+                tautology = True
+                break
+            polarity[v] = sgn
+        if not tautology:
+            deduped.append([v * s for v, s in polarity.items()])
     clauses = [c for c in deduped if len(c) > 0]
 
     if propagate:

@@ -9,10 +9,15 @@ and reduces with a single MXU matmul, accumulating into the output (resident
 in VMEM across the sequential TPU grid). Requirements:
 
   * segment ids sorted ascending;
-  * ids gap-free over each tile's span (id[last] - id[first] < T) -
-    guaranteed for clause-sorted edges (every packed clause is non-empty);
   * (num_segments + 2T) * 4 bytes fits in VMEM alongside the tiles
     (fine up to ~1M segments).
+
+Edges whose id falls outside their tile's aligned output window (id gaps
+larger than the window, e.g. between the padded replica blocks that
+replicate_batch builds) are detected in XLA, excluded from the kernel and
+added back with a small scatter correction, so the result is exact for ANY
+sorted input. The op carries a custom VJP (the transpose of a segmented sum
+is a gather) so it is safe under jax.grad.
 
 `sorted_segment_sum` falls back to jax.ops.segment_sum off-TPU unless
 interpret mode is forced (tests).
@@ -55,17 +60,7 @@ def _kernel(ids_ref, x_ref, out_ref):
     out_ref[pl.ds(base, WINDOW)] = window + sums
 
 
-def sorted_segment_sum(x, segment_ids, num_segments, interpret=False):
-    """Segmented sum for sorted, gap-free ids; x: f32[E] -> f32[num_segments].
-
-    Pads E up to a TILE multiple (pad rows reuse the last id with zero
-    value) and the output up to a WINDOW-aligned size so the windowed
-    accumulation stays in bounds.
-    """
-    if not (jax.default_backend() == "tpu" or interpret):
-        return xla_segment_sum(x, segment_ids, num_segments,
-                               indices_are_sorted=True)
-
+def _run(x, segment_ids, num_segments, interpret):
     E = x.shape[0]
     E_pad = -(-E // TILE) * TILE
     N_pad = -(-num_segments // ALIGN) * ALIGN + WINDOW
@@ -74,6 +69,14 @@ def sorted_segment_sum(x, segment_ids, num_segments, interpret=False):
         segment_ids = jnp.concatenate(
             [segment_ids, jnp.full((E_pad - E,), pad_id, segment_ids.dtype)])
         x = jnp.concatenate([x, jnp.zeros((E_pad - E,), x.dtype)])
+
+    # edges outside their tile's aligned window (large id gaps, e.g. padded
+    # replica-block boundaries) go through a scatter correction instead
+    tile_first = segment_ids.reshape(-1, TILE)[:, 0]
+    base = (tile_first // ALIGN) * ALIGN
+    rel = segment_ids - jnp.repeat(base, TILE)
+    oow = rel >= WINDOW
+    x_in = jnp.where(oow, 0.0, x)
 
     out = pl.pallas_call(
         _kernel,
@@ -85,5 +88,36 @@ def sorted_segment_sum(x, segment_ids, num_segments, interpret=False):
         out_specs=pl.BlockSpec((N_pad,), lambda i: (0,)),
         out_shape=jax.ShapeDtypeStruct((N_pad,), jnp.float32),
         interpret=interpret,
-    )(segment_ids, x)
-    return out[:num_segments]
+    )(segment_ids, x_in)
+
+    correction = xla_segment_sum(jnp.where(oow, x, 0.0), segment_ids,
+                                 N_pad, indices_are_sorted=True)
+    return (out + correction)[:num_segments]
+
+
+@jax.custom_vjp
+def _sorted_segment_sum_tpu(x, segment_ids, num_segments):
+    return _run(x, segment_ids, num_segments, interpret=False)
+
+
+def _ssum_fwd(x, segment_ids, num_segments):
+    return _sorted_segment_sum_tpu(x, segment_ids, num_segments), segment_ids
+
+
+def _ssum_bwd(segment_ids, g):
+    # transpose of a segmented sum is a gather of the cotangent
+    return g[segment_ids], None, None
+
+
+_sorted_segment_sum_tpu.defvjp(_ssum_fwd, _ssum_bwd)
+
+
+def sorted_segment_sum(x, segment_ids, num_segments, interpret=False):
+    """Segmented sum for sorted ids; x: f32[E] -> f32[num_segments]. Exact
+    for any sorted input (out-of-window gaps corrected); differentiable."""
+    if interpret:
+        return _run(x, segment_ids, num_segments, interpret=True)
+    if jax.default_backend() != "tpu":
+        return xla_segment_sum(x, segment_ids, num_segments,
+                               indices_are_sorted=True)
+    return _sorted_segment_sum_tpu(x, segment_ids, num_segments)

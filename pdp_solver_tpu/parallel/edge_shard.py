@@ -60,13 +60,6 @@ def shard_instance(n, m, gmap, signs, n_shards, pad_multiple=128):
                             num_vars=int(n), num_clauses=int(m))
 
 
-def _local(graph: EdgeShardedGraph):
-    return jax.tree_util.tree_map(
-        lambda x: x[0] if hasattr(x, "ndim") and x.ndim > 1 else x,
-        graph._replace(num_vars=graph.num_vars,
-                       num_clauses=graph.num_clauses))
-
-
 def make_edge_sharded_sp(graph_template: EdgeShardedGraph, n_iters, *,
                          mesh: Mesh, axis="es"):
     """Jitted (sharded_graph, var_state [S,Es,3], fn_state [S,Es,2]) ->

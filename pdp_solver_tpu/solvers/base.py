@@ -277,7 +277,6 @@ class PDPSolver:
         replication only if the caller replicates the batch itself.
         """
         t = self._t
-        base_batch = batch
         if replication > 1 and not is_training and carry is None:
             batch = replicate_batch(batch, replication)
             if graph_feat is not None:
@@ -321,8 +320,7 @@ class PDPSolver:
         var_pred, problem = _update_solution(problem, pred[0])
 
         if replication > 1 and not is_training:
-            var_pred = _deduplicate(base_batch, batch, problem, var_pred,
-                                    replication)
+            var_pred = _deduplicate(batch, problem, var_pred, replication)
 
         return (var_pred, pred[1]), state
 
@@ -568,19 +566,25 @@ def _compute_energy_diff(batch: FGBatch, problem: ProblemState, assign, em):
     return common.scatter_to_vars(batch, critical * dist)
 
 
-def _deduplicate(base_batch: FGBatch, rep_batch: FGBatch,
-                 problem: ProblemState, var_pred, replication):
+def _deduplicate(rep_batch: FGBatch, problem: ProblemState, var_pred,
+                 replication):
     """Pick the min-energy replica per original instance (solver.py:401-431).
 
     The replica layout is [R, V0] by construction (replicate_batch), so the
     reference's replication-mask argmax becomes a reshape + argmin; first
-    minimal replica wins, matching the reference tie-break."""
+    minimal replica wins, matching the reference tie-break. Everything is
+    derived from the replicated batch itself (B0 = B/R etc.), so this works
+    both when forward() replicated internally and when the caller passed an
+    already-replicated batch (the resumable-carry path).
+    """
     R = replication
+    B0 = rep_batch.batch_size // R
+    V0 = rep_batch.num_vars // R
     assign = 2.0 * var_pred[:, 0] - 1.0
     energy, _ = _compute_energy(rep_batch, problem, assign)
-    e = energy.reshape(R, base_batch.batch_size)
+    e = energy.reshape(R, B0)
     best_r = jnp.argmin(e, axis=0)                        # [B0]
-    pred_r = var_pred[:, 0].reshape(R, base_batch.num_vars)
-    v0 = jnp.arange(base_batch.num_vars, dtype=jnp.int32)
-    chosen = pred_r[best_r[base_batch.var_batch], v0]
+    pred_r = var_pred[:, 0].reshape(R, V0)
+    v0 = jnp.arange(V0, dtype=jnp.int32)
+    chosen = pred_r[best_r[rep_batch.var_batch[:V0]], v0]
     return chosen[:, None]

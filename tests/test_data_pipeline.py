@@ -142,6 +142,18 @@ def test_lazy_dataset_mode(tmp_path, monkeypatch):
 
 
 def test_compact_dedupes_repeated_literals():
-    # "1 1 2" -> [1, 2]; tautology "1 -1" -> last polarity wins: [-1]
+    # "1 1 2" -> [1, 2]; tautology "1 -1" is always true and is dropped
+    # (the reference's last-polarity-wins overwrite corrupts the formula)
     n, clauses = compact(2, [[1, 1, 2], [1, -1]])
-    assert sorted(map(sorted, clauses)) == [[-1], [1, 2]]
+    assert sorted(map(sorted, clauses)) == [[1, 2]]
+
+
+def test_fallback_parser_zero_terminators(tmp_path, monkeypatch):
+    # clauses share and span lines; the pure-python fallback must agree
+    # with the native parser and the DIMACS spec
+    import pdp_solver_tpu.fg.native as native
+    p = tmp_path / "multi.cnf"
+    p.write_text("p cnf 3 3\n1 0 2 0\n-1\n3 0\n")
+    monkeypatch.setattr(native, "parse_dimacs_fast", lambda path: None)
+    n, m, clauses = parse_dimacs(str(p))
+    assert clauses == [[1], [2], [-1, 3]]
