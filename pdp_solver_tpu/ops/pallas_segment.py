@@ -23,6 +23,8 @@ is a gather) so it is safe under jax.grad.
 interpret mode is forced (tests).
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -95,21 +97,24 @@ def _run(x, segment_ids, num_segments, interpret):
     return (out + correction)[:num_segments]
 
 
-@jax.custom_vjp
-def _sorted_segment_sum_tpu(x, segment_ids, num_segments):
-    return _run(x, segment_ids, num_segments, interpret=False)
+@functools.lru_cache(maxsize=None)
+def _make_tpu_fn(num_segments):
+    """custom_vjp wrapper specialised per (static) segment count - the
+    output shape must be concrete at trace time."""
 
+    @jax.custom_vjp
+    def f(x, segment_ids):
+        return _run(x, segment_ids, num_segments, interpret=False)
 
-def _ssum_fwd(x, segment_ids, num_segments):
-    return _sorted_segment_sum_tpu(x, segment_ids, num_segments), segment_ids
+    def fwd(x, segment_ids):
+        return f(x, segment_ids), segment_ids
 
+    def bwd(segment_ids, g):
+        # transpose of a segmented sum is a gather of the cotangent
+        return g[segment_ids], None
 
-def _ssum_bwd(segment_ids, g):
-    # transpose of a segmented sum is a gather of the cotangent
-    return g[segment_ids], None, None
-
-
-_sorted_segment_sum_tpu.defvjp(_ssum_fwd, _ssum_bwd)
+    f.defvjp(fwd, bwd)
+    return f
 
 
 def sorted_segment_sum(x, segment_ids, num_segments, interpret=False):
@@ -120,4 +125,4 @@ def sorted_segment_sum(x, segment_ids, num_segments, interpret=False):
     if jax.default_backend() != "tpu":
         return xla_segment_sum(x, segment_ids, num_segments,
                                indices_are_sorted=True)
-    return _sorted_segment_sum_tpu(x, segment_ids, num_segments)
+    return _make_tpu_fn(int(num_segments))(x, segment_ids)
