@@ -59,3 +59,40 @@ def test_init_ranges_match_torch_defaults():
     gb = 1.0 / np.sqrt(64)
     assert np.asarray(g["w_ih"]).min() >= -gb
     assert np.asarray(g["w_hh"]).max() <= gb
+
+
+def test_multilayer_perceptron_api(rng):
+    """MultiLayerPerceptron parity surface (reference util.py:83-107):
+    relu inner layers, bias-free sigmoid output layer."""
+    import jax
+    p = mlp.mlp_init(jax.random.PRNGKey(4), [6, 5, 4, 2])
+    x = jnp.asarray(rng.normal(size=(7, 6)).astype(np.float32))
+    out = np.asarray(mlp.mlp_apply(p, x))
+    assert out.shape == (7, 2)
+    assert ((out > 0) & (out < 1)).all()
+    assert len(p["inner"]) == 2 and "b" not in p["out"]
+
+
+def test_survey_scorer_adaptor_params(rng):
+    """SurveyScorer's learned-adaptor variant (reference pdp_predict.py:
+    145-147) initialises and projects message states."""
+    import jax
+    from pdp_solver_tpu.modules.predict import (
+        SurveyScorerConfig, survey_scorer_init, survey_scorer_apply)
+    from pdp_solver_tpu.fg.batch import pack_instances
+    from pdp_solver_tpu.problem import init_problem_state
+    from tests.helpers import cnf_instance, random_ksat
+
+    cfg = SurveyScorerConfig(message_dim=8, include_adaptors=True)
+    params = survey_scorer_init(jax.random.PRNGKey(0), cfg)
+    assert params["proj"]["w"].shape == (8, 2)
+
+    insts = [cnf_instance(6, random_ksat(rng, 6, 12))]
+    batch = pack_instances(insts, bucket=False)
+    E = batch.num_edges
+    msg = (jnp.asarray(rng.normal(size=(E, 8)).astype(np.float32)),
+           jnp.asarray(rng.normal(size=(E, 8)).astype(np.float32)))
+    score, _ = survey_scorer_apply(params, cfg, batch, msg,
+                                   init_problem_state(batch))
+    assert score.shape == (batch.num_vars, 1)
+    assert np.isfinite(np.asarray(score)).all()
