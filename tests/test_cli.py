@@ -68,3 +68,26 @@ def test_satyr_cli_end_to_end(tmp_path, rng):
     assert solved_count >= 2  # easy instances
     # temp conversion file cleaned up
     assert not (d / "temp_problem_file.json").exists()
+
+
+def test_satyr_on_committed_sample_dataset(tmp_path):
+    """The repo's datasets/sample_3sat.json quickstart works end to end."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sample = os.path.join(repo, "datasets", "sample_3sat.json")
+    if not os.path.exists(sample):
+        pytest.skip("sample dataset not present")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = repo
+    out = tmp_path / "out.json"
+    res = subprocess.run(
+        [sys.executable, "-m", "pdp_solver_tpu.cli.satyr",
+         os.path.join(repo, "config", "Predict", "PDP-p-d-p-sp.yaml"),
+         sample, "80", "-c", "-w", "100", "-s", "0", "-o", str(out)],
+        capture_output=True, text=True, env=env, timeout=560, cwd=repo)
+    assert res.returncode == 0, res.stderr[-2000:]
+    rows = [json.loads(l) for l in out.read_text().splitlines() if l.strip()]
+    assert len(rows) == 20
+    solved = sum(r["solved"] for r in rows)
+    assert solved >= 16, f"only {solved}/20 of the easy sample solved"

@@ -134,3 +134,18 @@ def test_resumable_solve_matches_single_shot(rng):
     pred = np.asarray(pred)[:, 0]
     frac = _solved_fraction(batch, insts, clause_lists, pred)
     assert frac >= 0.75
+
+
+def test_hybrid_solvers_with_walksat_solve_easy(rng):
+    """p-nd-np and np-d-np (untrained nets) still solve easy formulas: the
+    pipeline machinery (messages, decimation, random fill, WalkSAT) must
+    carry them even before training."""
+    batch, clause_lists, insts = _make_batch(rng, 4, 12, 2.5)
+    for mt in ("p-nd-np", "np-d-np"):
+        solver = PDPSolver(SolverConfig(
+            model_type=mt, hidden_dim=8, mem_hidden_dim=8, agg_hidden_dim=8,
+            mem_agg_hidden_dim=8, classifier_dim=8, tolerance=0.02, t_max=10,
+            local_search_iterations=300, epsilon=0.5))
+        pred = _solve(solver, batch, iters=30)
+        frac = _solved_fraction(batch, insts, clause_lists, pred)
+        assert frac >= 0.75, f"{mt}: solved fraction {frac} too low"
