@@ -43,13 +43,19 @@ def generate_dataset(generator, size, out_dimacs, out_json, name,
         with open(os.path.join(out_json, name + postfix + ".json"),
                   "w") as f:
             for i in range(size):
-                n, m, gmap, signs, label = generator.generate()[:5]
-                if sat_only and label != 1:
-                    # the reference's labeler is a stub (generator.py:15-17);
-                    # without a labeling solver sat_only keeps everything
-                    pass
+                max_trial = 50  # reference generator.py:55,74-81
+                for _ in range(max_trial):
+                    n, m, gmap, signs, label = generator.generate()[:5]
+                    if (not sat_only) or label == 1:
+                        break
+                else:
+                    continue  # no SAT instance found within the budget
                 f.write(instance_to_line(n, m, gmap, signs, label) + "\n")
-                fname = f"dimacs_{i}_sat={int(label)}.DIMACS"
+                # encode the label so label_from_filename round-trips it:
+                # last stem char must be the digit, or a non-digit for
+                # unlabeled (-1); "sat=-1" would re-parse as label 1
+                tag = str(int(label)) if label in (0, 1) else "unknown"
+                fname = f"dimacs_{i}_sat={tag}.DIMACS"
                 write_dimacs(os.path.join(band_dir, fname), n,
                              _instance_to_clauses(n, gmap, signs))
                 print("Dataset %2d/%2d: %.2f %% complete  " % (

@@ -77,7 +77,9 @@ def run(random_seed, config_file, is_training, load_model, cpu, reset_step,
         elif load_model == "best":
             import_path = best_path
         else:
-            import_path = best_path if is_training else None
+            # reference tests the final in-memory (last-epoch) model when no
+            # -l flag is given (satyr-train-test.py:112-117)
+            import_path = None
 
         result = trainer.test(test_files, import_path=import_path,
                               batch_replication=batch_replication)

@@ -21,6 +21,7 @@ replicated.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
@@ -87,7 +88,7 @@ def make_parallel_train_step(solver, optimizer, *, t_outer=1, t_inner=1,
         grads = jax.lax.pmean(grads, axis_name)
         loss = jax.lax.pmean(loss, axis_name)
         updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
     sharded = shard_map(

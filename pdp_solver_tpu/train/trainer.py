@@ -47,6 +47,9 @@ class SatTrainer:
             int(config.get("random_seed", seed)) & 0x7FFFFFFF)
         self._rng, r_init = jax.random.split(self._rng)
         self.params = self.solver.init_params(r_init)
+        # trained annealing step, used by metric losses (reference evaluates
+        # at model._global_step, trainer.py:119-122)
+        self.global_step = jnp.ones((), jnp.float32)
 
         self._optimizer = None
         self._step_cache = {}
@@ -124,13 +127,20 @@ class SatTrainer:
         c = self._config
         train_state = self.init_train_state()
 
-        if load_model == "best" and best_export_path:
-            train_state = self._load_train_state(train_state, best_export_path)
-        elif load_model == "last" and last_export_path:
-            train_state = self._load_train_state(train_state, last_export_path)
-        if reset_step:
-            train_state = train_state._replace(
-                global_step=jnp.zeros((), jnp.float32))
+        def restore(train_state):
+            """Reference reloads the checkpoint at the START of every
+            repetition (base.py:343-350), so repetitions are independent
+            restarts."""
+            if load_model == "best" and best_export_path:
+                train_state = self._load_train_state(train_state,
+                                                     best_export_path)
+            elif load_model == "last" and last_export_path:
+                train_state = self._load_train_state(train_state,
+                                                     last_export_path)
+            if reset_step:
+                train_state = train_state._replace(
+                    global_step=jnp.zeros((), jnp.float32))
+            return train_state
 
         train_loader = BatchLoader(
             input_file=None if generator is not None else train_files[0],
@@ -155,6 +165,7 @@ class SatTrainer:
         best_error = np.inf
 
         for rep in range(rep_num):
+            train_state = restore(train_state)
             for epoch in range(epoch_num):
                 start = time.time()
                 total_loss, n_batches = 0.0, 0
@@ -174,6 +185,7 @@ class SatTrainer:
 
                 losses[epoch, rep] = total_loss / max(total_examples, 1)
                 self.params = train_state.params
+                self.global_step = train_state.global_step
                 err = self.test_metrics(val_loader, 1)
                 errors[:, epoch, rep] = err
                 duration = time.time() - start
@@ -238,7 +250,7 @@ class SatTrainer:
             recall = float((lab * np.abs(s - lab) * mask).sum()
                            / max((lab * mask).sum(), LOSS_EPS))
             loss = float(energy_loss(
-                batch, jnp.asarray(var_pred), jnp.ones(()),
+                batch, jnp.asarray(var_pred), self.global_step,
                 c.get("exploration", 1.0), c.get("loss_sharpness", 1)))
             err += np.array([l1, recall, loss]) * n_real
             total += n_real
@@ -330,6 +342,7 @@ class SatTrainer:
             "global_step": jnp.zeros((), jnp.float32),
         }, self.solver.cfg.name)
         self.params = restored["params"]
+        self.global_step = restored["global_step"]
 
     def _save_train_state(self, train_state: TrainState, path):
         ckpt.save_params(path, {
