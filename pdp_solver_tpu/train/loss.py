@@ -44,6 +44,12 @@ def energy_loss(batch: FGBatch, variable_prediction, global_step,
     den = common.scatter_to_clauses(batch, weights)
 
     clause_value = den / jnp.maximum(nom, eps)
+    # clamp before the sharpness power: a fully-violated clause can reach
+    # den/eps ~ 1e9, and 1e9^kappa overflows f32 to inf (the reference has
+    # the same latent overflow, util.py:195-197, which turns the loss - and
+    # its gradients - into inf/NaN); 1e7^kappa stays finite and the clamp
+    # only binds in that already-pathological regime
+    clause_value = jnp.minimum(clause_value, 1e7)
     clause_value = 1.0 + jnp.power(clause_value - 1.0, loss_sharpness)
     log_v = jnp.log(jnp.maximum(clause_value, eps)) * batch.clause_mask
     return jnp.sum(log_v) / jnp.maximum(jnp.sum(batch.clause_mask), 1.0)

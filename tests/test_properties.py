@@ -119,3 +119,22 @@ def test_decimation_only_fixes_consistent_values(rng):
         v += inst[0]
     # all four formulas are provably SAT and easy; the solver must get them
     assert solved == 4
+
+
+def test_energy_loss_finite_in_pathological_regime(rng):
+    """A confidently-wrong prediction must give a large FINITE loss with
+    finite gradients (f32 overflow guard; the reference's formula goes to
+    inf here and NaNs its own training)."""
+    import jax
+    import jax.numpy as jnp
+    from pdp_solver_tpu.train.loss import energy_loss
+
+    clauses = [[1, 2, 3]] * 4
+    batch = pack_instances([cnf_instance(3, clauses)], bucket=False)
+    # all positive literals, prediction pushes every variable to ~0
+    pred = jnp.full((3, 1), 1e-9, jnp.float32)
+
+    val, grad = jax.value_and_grad(
+        lambda p: energy_loss(batch, p, jnp.asarray(50.0), 0.1, 5))(pred)
+    assert np.isfinite(float(val)) and float(val) > 10
+    assert np.isfinite(np.asarray(grad)).all()
