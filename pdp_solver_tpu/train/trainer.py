@@ -47,6 +47,9 @@ class SatTrainer:
             int(config.get("random_seed", seed)) & 0x7FFFFFFF)
         self._rng, r_init = jax.random.split(self._rng)
         self.params = self.solver.init_params(r_init)
+        if self._config.get("verbose"):
+            self._log("The model parameter count is %d."
+                      % self.solver.parameter_count(self.params))
         # trained annealing step, used by metric losses (reference evaluates
         # at model._global_step, trainer.py:119-122)
         self.global_step = jnp.ones((), jnp.float32)
@@ -170,6 +173,7 @@ class SatTrainer:
                 start = time.time()
                 total_loss, n_batches = 0.0, 0
                 total_examples = 0
+                n_total_batches = len(train_loader)
                 for batch, _ in train_loader:
                     train_state, loss = train_step(
                         train_state, self._next_rng(), batch)
@@ -177,6 +181,13 @@ class SatTrainer:
                     n_batches += 1
                     total_examples += int(np.asarray(
                         batch.instance_mask).sum())
+                    if c.get("verbose"):
+                        print("Training epoch, batch %4d (%6d examples):"
+                              " %3d%% complete..." % (
+                                  n_batches, total_examples,
+                                  int(min(n_batches, n_total_batches) * 100
+                                      / max(n_total_batches, 1))),
+                              end="\r")
                     # reference increments once per macro batch
                     # (base.py:144-145); we track per segment which only
                     # shifts the annealing schedule slightly
