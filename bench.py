@@ -101,30 +101,49 @@ def main():
         fwd = lambda r, b, s, n: solve_chunked(r, b, s, n, chunk)
     else:
         fwd = jax.jit(solve, static_argnames="n_iters")
-    # warm-up / compile (cached afterwards); in chunked mode compiling the
-    # three chunk programs via a 2-chunk run is enough and avoids paying the
-    # full budget twice
-    warm_iters = min(iters, 2 * chunk) if chunk > 0 else iters
+    # warm-up: compile every distinct program the timed run will execute,
+    # including the remainder-sized chunk when iters % chunk != 0 (a compile
+    # inside the timed region would inflate the wall time)
     t0 = time.time()
-    jax.block_until_ready(fwd(r_fwd, batch, state, warm_iters)[0])
+    if chunk > 0:
+        st_w, carry_w = first_fn(r_fwd, batch, state, min(chunk, iters))
+        if iters > chunk:
+            st_w, carry_w = step_fn(r_fwd, batch, st_w, carry_w, chunk)
+            rem = iters % chunk
+            if rem:
+                step_fn(r_fwd, batch, st_w, carry_w, rem)
+        jax.block_until_ready(final_fn(r_fwd, batch, st_w, carry_w)[0])
+    else:
+        jax.block_until_ready(fwd(r_fwd, batch, state, iters)[0])
     compile_and_first = time.time() - t0
 
-    # timed full solve; the sync point is the device->host transfer of the
-    # solved count (block_until_ready has unreliable semantics on some PJRT
-    # tunnels, so time through an actual materialisation). One retry with
-    # half-size chunks if the device objects mid-run.
-    try:
-        t0 = time.time()
-        pred, solved_dev = fwd(r_fwd, batch, state, iters)
-        solved = int(solved_dev)
-        wall = time.time() - t0
-    except Exception:
-        chunk = max(chunk // 2, 10) if chunk else 25
-        fwd = lambda r, b, s, n: solve_chunked(r, b, s, n, chunk)
-        t0 = time.time()
-        pred, solved_dev = fwd(r_fwd, batch, state, iters)
-        solved = int(solved_dev)
-        wall = time.time() - t0
+    # timed full solve, repeated BENCH_REPEATS times (median wall) to defend
+    # the headline against tunnel wall-clock variance; the sync point is the
+    # device->host transfer of the solved count (block_until_ready has
+    # unreliable semantics on some PJRT tunnels). One retry with half-size
+    # chunks if the device objects mid-run.
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    walls = []
+    solved = 0
+    for rep in range(max(repeats, 1)):
+        try:
+            t0 = time.time()
+            pred, solved_dev = fwd(r_fwd, batch, state, iters)
+            solved = int(solved_dev)
+            walls.append(time.time() - t0)
+        except Exception:
+            chunk = max(chunk // 2, 10) if chunk else 25
+            fwd = lambda r, b, s, n: solve_chunked(r, b, s, n, chunk)
+            t0 = time.time()
+            pred, solved_dev = fwd(r_fwd, batch, state, iters)
+            solved = int(solved_dev)
+            walls.append(time.time() - t0)
+        # do not blow the benchmark budget when the device is having a slow
+        # day - one honest sample beats three that hit the driver timeout
+        if walls[-1] > 300:
+            break
+    walls.sort()
+    wall = walls[len(walls) // 2]
 
     # per-iteration slope without early termination (isolates the PDP
     # iteration cost from setup/walksat; every iteration actually executes).
@@ -155,10 +174,14 @@ def main():
     try:
         lo_c, hi_c = 2, 6
         run_fixed(hi_c)  # compile both programs
-        wall_lo = run_fixed(lo_c)
-        wall_hi = run_fixed(hi_c)
-        per_iter = max((wall_hi - wall_lo) / ((hi_c - lo_c) * step_chunk),
-                       1e-9)
+        diffs = []
+        for _ in range(3):
+            wall_lo = run_fixed(lo_c)
+            wall_hi = run_fixed(hi_c)
+            diffs.append(max(
+                (wall_hi - wall_lo) / ((hi_c - lo_c) * step_chunk), 1e-9))
+        diffs.sort()
+        per_iter = diffs[1]
     except Exception:
         per_iter = None
 
@@ -192,6 +215,7 @@ def main():
                                      if ref else None),
         "iters": iters,
         "wall_s": round(wall, 3),
+        "wall_samples_s": [round(w, 3) for w in walls],
         "warmup_s": round(compile_and_first, 1),
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),

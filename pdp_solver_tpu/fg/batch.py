@@ -19,23 +19,41 @@ clause-segment reductions can use the sorted fast path.
 Padding rows point at the last valid slot with a 0 mask so segment ops stay
 in-bounds; padding *instances* are marked in instance_mask and start deactivated
 so the solver's masking machinery ignores them for free.
+
+Static fast-path metadata (computed once at pack time, carried as pytree
+aux data so jit specialises on it):
+
+  clause_width  k > 0 when every real clause has exactly k literals and edges
+                are clause-major: the clause-direction segment reduce becomes
+                a [F, k] reshape-sum and never touches XLA scatter.
+  fast_var /    every TILE-sized slab of edge ids spans < WINDOW ids, so the
+  fast_clause   windowed one-hot MXU kernel (ops/pallas_reduce.py) computes
+                the segment sum exactly with no scatter correction.
 """
 
-from typing import NamedTuple, Sequence, Tuple
+import dataclasses
+from typing import Sequence, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
+# must match ops/pallas_reduce.py
+REDUCE_TILE = 1024
+REDUCE_WINDOW = 2048
+REDUCE_ALIGN = 1024
 
-class FGBatch(NamedTuple):
-    """A packed batch of CNF factor graphs (a valid JAX pytree).
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class FGBatch:
+    """A packed batch of CNF factor graphs (a JAX pytree with static aux).
 
     Besides the flat edge list, the batch carries ELL-format adjacency
     tables (`var_edges` [V, DV], `clause_edges` [F, DC]; -1 padded): each
-    node's incident edge ids at fixed width. On TPU these turn every
-    scatter-add (XLA's slowest primitive) into a gather + dense reduction.
-    A zero-width table ([N, 0]) means "not built" (degree cap exceeded) and
-    ops fall back to segment scatters.
+    node's incident edge ids at fixed width (opt-in backend; the windowed
+    Pallas reduce is the TPU default). A zero-width table ([N, 0]) means
+    "not built" (degree cap exceeded).
     """
 
     edge_var: jnp.ndarray      # i32[E]
@@ -50,6 +68,38 @@ class FGBatch(NamedTuple):
     label: jnp.ndarray         # f32[B]
     var_edges: jnp.ndarray     # i32[V, DV] edge ids per variable, -1 pad
     clause_edges: jnp.ndarray  # i32[F, DC] edge ids per clause, -1 pad
+    # per-instance meta features (reference `meta_data` / graph_feat slot,
+    # src/pdp/factorgraph/dataset.py:157); [B, 0] when the dataset has none
+    graph_feat: jnp.ndarray = None  # f32[B, meta_dim]
+    # -- static fast-path metadata (pytree aux, not traced) --
+    clause_width: int = 0      # uniform clause size k, 0 = ragged
+    fast_var: bool = False     # var-dir windowed-kernel invariant holds
+    fast_clause: bool = False  # clause-dir windowed-kernel invariant holds
+
+    _ARRAY_FIELDS = ("edge_var", "edge_clause", "edge_sign", "var_batch",
+                     "clause_batch", "edge_mask", "var_mask", "clause_mask",
+                     "instance_mask", "label", "var_edges", "clause_edges",
+                     "graph_feat")
+
+    def __post_init__(self):
+        if self.graph_feat is None:
+            object.__setattr__(
+                self, "graph_feat",
+                np.zeros((np.shape(self.label)[0], 0), np.float32))
+
+    def tree_flatten(self):
+        children = tuple(getattr(self, f) for f in self._ARRAY_FIELDS)
+        aux = (self.clause_width, self.fast_var, self.fast_clause)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, clause_width=aux[0], fast_var=aux[1],
+                   fast_clause=aux[2])
+
+    # NamedTuple-compat helper used by a few call sites/tests
+    def _replace(self, **kw):
+        return dataclasses.replace(self, **kw)
 
     @property
     def num_edges(self):
@@ -87,6 +137,19 @@ def bucket_dims(v: int, f: int, e: int, b: int,
         return g
 
     return up(v), up(f), up(e), up(b)
+
+
+def _windowed_ok(ids: np.ndarray) -> bool:
+    """True when every TILE-slab of ids spans < WINDOW - ALIGN ids, i.e. the
+    windowed one-hot reduce kernel is exact with no correction pass."""
+    n = ids.shape[0]
+    if n == 0:
+        return True
+    pad = -(-n // REDUCE_TILE) * REDUCE_TILE
+    padded = np.concatenate([ids, np.full(pad - n, ids[-1], ids.dtype)])
+    tiles = padded.reshape(-1, REDUCE_TILE)
+    span = tiles.max(axis=1) - tiles.min(axis=1)
+    return bool((span <= REDUCE_WINDOW - REDUCE_ALIGN).all())
 
 
 def pack_instances(instances: Sequence[tuple],
@@ -156,12 +219,36 @@ def pack_instances(instances: Sequence[tuple],
     var_edges = build_ell_table(edge_var[:e_off], pad_v)
     clause_edges = build_ell_table(edge_clause[:e_off], pad_f)
 
+    # optional per-instance meta features (7th tuple element; zero-width
+    # when absent - the reference's always-None graph_feat slot)
+    metas = [np.asarray(inst[6], np.float32).reshape(-1)
+             for inst in instances if len(inst) > 6 and inst[6] is not None]
+    if metas and len(metas) == n_inst:
+        md = metas[0].shape[0]
+        graph_feat = np.zeros((pad_b, md), np.float32)
+        graph_feat[:n_inst] = np.stack(metas)
+    else:
+        graph_feat = np.zeros((pad_b, 0), np.float32)
+
+    # uniform clause width: every real clause has exactly k literals laid out
+    # clause-major, so the clause reduce is a reshape-sum (see modules/common)
+    clause_width = 0
+    if e_off > 0 and f_off > 0 and e_off % f_off == 0:
+        k = e_off // f_off
+        counts = np.bincount(edge_clause[:e_off], minlength=f_off)
+        if (counts[:f_off] == k).all():
+            clause_width = k
+
     return FGBatch(
         edge_var=edge_var, edge_clause=edge_clause, edge_sign=edge_sign,
         var_batch=var_batch, clause_batch=clause_batch,
         edge_mask=edge_mask, var_mask=var_mask, clause_mask=clause_mask,
         instance_mask=instance_mask, label=label,
-        var_edges=var_edges, clause_edges=clause_edges)
+        var_edges=var_edges, clause_edges=clause_edges,
+        graph_feat=graph_feat,
+        clause_width=clause_width,
+        fast_var=_windowed_ok(edge_var),
+        fast_clause=_windowed_ok(edge_clause))
 
 
 ELL_MAX_WIDTH = 512   # above this degree fall back to segment scatters
@@ -203,6 +290,12 @@ def replicate_batch(batch: FGBatch, replication: int) -> FGBatch:
     r * B + b, variable slot v + r * V, clause slot f + r * F; de-duplication
     later reduces over the leading replica axis by reshape (see
     solvers/base.py deduplicate).
+
+    Fast-path metadata: when E is a multiple of the reduce TILE, replica
+    blocks start on tile boundaries, so no tile straddles two replicas and
+    the windowed invariants survive replication. The reshape clause reduce
+    additionally needs pad_e == k * pad_f so replica r's clause c lands in
+    reshape row r * pad_f + c.
     """
     if replication <= 1:
         return batch
@@ -218,6 +311,8 @@ def replicate_batch(batch: FGBatch, replication: int) -> FGBatch:
         off = jnp.repeat(jnp.arange(R, dtype=jnp.int32), num_rows)[:, None] * E
         return jnp.where(t >= 0, t + off, -1)
 
+    tile_aligned = E % REDUCE_TILE == 0
+    k = batch.clause_width
     return FGBatch(
         edge_var=jnp.tile(batch.edge_var, R) + r_e * V,
         edge_clause=jnp.tile(batch.edge_clause, R) + r_e * F,
@@ -231,4 +326,8 @@ def replicate_batch(batch: FGBatch, replication: int) -> FGBatch:
         label=jnp.tile(batch.label, R),
         var_edges=rep_table(batch.var_edges, V),
         clause_edges=rep_table(batch.clause_edges, F),
+        graph_feat=jnp.tile(batch.graph_feat, (R, 1)),
+        clause_width=(k if k > 0 and E == k * F else 0),
+        fast_var=batch.fast_var and tile_aligned,
+        fast_clause=batch.fast_clause and tile_aligned,
     )

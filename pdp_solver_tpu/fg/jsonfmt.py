@@ -11,7 +11,12 @@ import numpy as np
 
 
 def parse_line(line):
-    """JSON line -> (n, m, graph_map[2,E], edge_sign[E], label, misc)."""
+    """JSON line -> (n, m, graph_map[2,E], edge_sign[E], label, misc[, meta]).
+
+    Extension over the reference format: an optional 6th element holds a
+    per-instance meta feature vector (the reference's `meta_data` slot is
+    plumbed through its modules but its JSON path always yields None,
+    dataset.py:136; this row extension is the missing data source)."""
     data = json.loads(line)
     n, m = data[0]
     signed_vars = np.asarray(data[1], dtype=np.int64)
@@ -20,7 +25,10 @@ def parse_line(line):
     ec = (np.abs(clause_ids) - 1).astype(np.int32)
     signs = np.sign(signed_vars).astype(np.float32)
     misc = data[4] if len(data) > 4 else []
-    return (int(n), int(m), np.stack([ev, ec]), signs, float(data[3]), misc)
+    out = (int(n), int(m), np.stack([ev, ec]), signs, float(data[3]), misc)
+    if len(data) > 5:
+        out = out + (np.asarray(data[5], dtype=np.float32),)
+    return out
 
 
 def instance_to_line(n, m, gmap, signs, label, misc=None):

@@ -47,6 +47,14 @@ class _LazyJsonDataset:
                 off += len(line)
         self._fh = open(path, "rb")
 
+    def close(self):
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+
+    def __del__(self):
+        self.close()
+
     def __len__(self):
         return len(self._offsets)
 
@@ -54,6 +62,8 @@ class _LazyJsonDataset:
         if i in self._cache:
             self._cache.move_to_end(i)
             return self._cache[i]
+        if self._fh is None:
+            self._fh = open(self._path, "rb")
         self._fh.seek(self._offsets[i])
         inst = parse_line(self._fh.readline().decode())
         if len(self._cache) >= self._max_cache:
@@ -134,6 +144,13 @@ class BatchLoader:
         return v * b, f * b, e * b, b
 
     def __iter__(self):
+        for batch, misc, _ in self.iter_segments():
+            yield batch, misc
+
+    def iter_segments(self):
+        """Yield (batch, misc, macro_done) where macro_done marks the last
+        segment of each macro-batch - the reference's global_step increments
+        once per macro-batch (base.py:144-145), not once per segment."""
         macro = []
         fixed = self._fixed_dims() if (self._fixed_shape and
                                        self._generator is not None) else None
@@ -146,6 +163,7 @@ class BatchLoader:
             yield from self._emit(macro, fixed)
 
     def _emit(self, macro, fixed):
+        segments = []
         if fixed is not None:
             pv, pf, pe, pb = fixed
             # greedy fill below the fixed caps
@@ -154,15 +172,17 @@ class BatchLoader:
                 d = (inst[0], inst[1], inst[2].shape[1])
                 if seg and (sv[0] + d[0] > pv or sv[1] + d[1] > pf
                             or sv[2] + d[2] > pe or len(seg) >= pb):
-                    yield self._pack(seg, pv, pf, pe, pb)
+                    segments.append(self._pack(seg, pv, pf, pe, pb))
                     seg, sv = [], [0, 0, 0]
                 seg.append(inst)
                 sv = [sv[0] + d[0], sv[1] + d[1], sv[2] + d[2]]
             if seg:
-                yield self._pack(seg, pv, pf, pe, pb)
+                segments.append(self._pack(seg, pv, pf, pe, pb))
         else:
             for seg in divide_batch(macro, self._limit, self._hidden_dim):
-                yield self._pack(seg, None, None, None, None)
+                segments.append(self._pack(seg, None, None, None, None))
+        for i, (batch, misc) in enumerate(segments):
+            yield batch, misc, i == len(segments) - 1
 
     def _pack(self, seg, pv, pf, pe, pb):
         misc = [inst[5] if len(inst) > 5 else () for inst in seg]

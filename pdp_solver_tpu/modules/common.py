@@ -69,8 +69,34 @@ def ell_sum(x_e, table):
     return out[:, 0] if scalar else out
 
 
+# VMEM budget guard for the windowed kernel's resident [C, N_pad] output
+_WINDOWED_MAX_ELEMS = 1_500_000
+
+
+def _use_windowed(fast_flag, num_segments, ncols):
+    """Windowed one-hot MXU reduce: the TPU default wherever the pack-time
+    invariant holds (profiled ~6x cheaper than XLA scatter per reduce)."""
+    mode = _backend()
+    if mode == "windowed":
+        return True
+    if mode not in ("auto", "pallas"):
+        return False
+    return (fast_flag and jax.default_backend() == "tpu"
+            and (num_segments + 2048) * ncols <= _WINDOWED_MAX_ELEMS)
+
+
+def _windowed(x_e, ids, num_segments):
+    from pdp_solver_tpu.ops.pallas_reduce import windowed_segment_sum
+    interpret = jax.default_backend() != "tpu"
+    return windowed_segment_sum(x_e, ids, num_segments, interpret=interpret)
+
+
 def scatter_to_vars(batch: FGBatch, x_e):
     """mm(variable_mask [VxE], x): sum each variable's edge rows."""
+    ncols = 1 if x_e.ndim == 1 else x_e.shape[1]
+    if _use_windowed(batch.fast_var, batch.num_vars, ncols):
+        m = batch.edge_mask if x_e.ndim == 1 else col(batch.edge_mask)
+        return _windowed(x_e * m, batch.edge_var, batch.num_vars)
     if _use_ell(batch.var_edges):
         return ell_sum(x_e, batch.var_edges)
     m = batch.edge_mask if x_e.ndim == 1 else col(batch.edge_mask)
@@ -80,18 +106,22 @@ def scatter_to_vars(batch: FGBatch, x_e):
 def scatter_to_clauses(batch: FGBatch, x_e):
     """mm(function_mask [FxE], x): sum each clause's edge rows.
 
-    Clause ids are sorted and gap-free by construction (fg/batch.py packs
-    edges clause-major and empty clauses never exist), which is exactly the
-    contract of the Pallas MXU kernel - the default on TPU for width-1
-    reductions (measured 1.8x over scatter per op and ~9% on the full
-    solve, docs/PERFORMANCE.md); PDP_SEGMENT_BACKEND overrides."""
+    Uniform-k clause-major batches (every k-SAT set) reduce by reshape -
+    no scatter, no custom kernel, differentiable natively. Otherwise the
+    windowed kernel applies (clause ids are sorted and gap-free by
+    construction, so the invariant virtually always holds); XLA scatter is
+    the last resort. PDP_SEGMENT_BACKEND in {auto, windowed, ell, scatter}
+    overrides."""
     mode = _backend()
-    use_pallas = (mode == "pallas"
-                  or (mode == "auto" and jax.default_backend() == "tpu"))
-    if use_pallas and x_e.ndim == 1:
-        from pdp_solver_tpu.ops.pallas_segment import sorted_segment_sum
-        return sorted_segment_sum(x_e * batch.edge_mask, batch.edge_clause,
+    if batch.clause_width > 0 and mode in ("auto", "pallas", "windowed"):
+        from pdp_solver_tpu.ops.pallas_reduce import uniform_clause_sum
+        m = batch.edge_mask if x_e.ndim == 1 else col(batch.edge_mask)
+        return uniform_clause_sum(x_e * m, batch.clause_width,
                                   batch.num_clauses)
+    ncols = 1 if x_e.ndim == 1 else x_e.shape[1]
+    if _use_windowed(batch.fast_clause, batch.num_clauses, ncols):
+        m = batch.edge_mask if x_e.ndim == 1 else col(batch.edge_mask)
+        return _windowed(x_e * m, batch.edge_clause, batch.num_clauses)
     if _use_ell(batch.clause_edges):
         return ell_sum(x_e, batch.clause_edges)
     m = batch.edge_mask if x_e.ndim == 1 else col(batch.edge_mask)

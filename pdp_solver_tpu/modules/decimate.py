@@ -23,9 +23,9 @@ from pdp_solver_tpu.fg.batch import FGBatch
 from pdp_solver_tpu.modules import common, mlp
 from pdp_solver_tpu.modules.common import col
 from pdp_solver_tpu.ops.segment import (
-    segment_argmax_first, segment_max_shifted)
-from pdp_solver_tpu.ops import segment_sum
-from pdp_solver_tpu.problem.simplify import set_variables
+    segment_argmax_first, segment_max, segment_max_shifted)
+from pdp_solver_tpu.ops import safe_exp, segment_sum
+from pdp_solver_tpu.problem.simplify import fused_set_variables
 from pdp_solver_tpu.problem.state import ProblemState
 
 
@@ -148,26 +148,34 @@ def sequential_decimator_apply(cfg: SeqDecimatorConfig,
     V, B = batch.num_vars, batch.batch_size
     eta = message_state[1][:, 0]
 
-    # (1) paramagnetic state check (pdp_decimate.py:127-133)
+    # (1)+(2) paramagnetic survey max (pdp_decimate.py:127-133) and message
+    # convergence (pdp_decimate.py:136-150): both are per-variable
+    # smooth-maxes followed by per-instance maxes. All four smooth-max
+    # columns ride ONE edge->var reduce and both instance maxes ride one
+    # [V,2] segment_max (the chip is reduce-bound; see docs/PERFORMANCE.md).
+    diff = jnp.abs(seq_state.prev_eta - eta) * edge_mask
+    cols = [diff]
     if active_instances is not None:
-        survey_v = common.var_smooth_max(batch, eta)
-        survey_v = survey_v * problem.active_vars
-        survey_b = segment_max_shifted(survey_v, batch.var_batch, B,
-                                       valid=batch.var_mask,
-                                       indices_are_sorted=True)
+        cols.append(eta)
+    stacked = []
+    for x in cols:
+        c = safe_exp(30.0 * x) * batch.edge_mask
+        stacked.extend([x * c, c])
+    nd = common.scatter_to_vars(batch, jnp.stack(stacked, axis=1))
+    sm = nd[:, 0::2] / jnp.maximum(nd[:, 1::2], 1.0)   # [V, 1 or 2]
+    sm = sm * problem.active_vars[:, None]
+    mx = segment_max(jnp.where(batch.var_mask[:, None] > 0, sm, -jnp.inf),
+                     batch.var_batch, B, indices_are_sorted=True)
+    mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+    diff_b = mx[:, 0]
+
+    if active_instances is not None:
+        survey_b = mx[:, 1]
         active_instances = jnp.where(survey_b <= 1e-10, 0.0, active_instances)
 
     # gate: skip decimation on the first iteration or when nothing is active
     # (reference pdp_decimate.py:135 `if previous is not None and sum > 0`)
     gate = seq_state.has_prev * (jnp.sum(problem.active_vars) > 0)
-
-    # (2) convergence measure (pdp_decimate.py:136-150)
-    diff = jnp.abs(seq_state.prev_eta - eta) * edge_mask
-    diff_v = common.var_smooth_max(batch, diff)
-    diff_v = diff_v * problem.active_vars
-    diff_b = segment_max_shifted(diff_v, batch.var_batch, B,
-                                 valid=batch.var_mask,
-                                 indices_are_sorted=True)
 
     converged = (diff_b < cfg.tolerance).astype(jnp.float32)
     counters = jnp.where(converged > 0, 0.0, seq_state.counters)
@@ -199,7 +207,7 @@ def sequential_decimator_apply(cfg: SeqDecimatorConfig,
 
     problem = jax.lax.cond(
         jnp.sum(decimate_b) > 0,
-        lambda p: set_variables(batch, p, assignment),
+        lambda p: fused_set_variables(batch, p, assignment),
         lambda p: p,
         problem)
 

@@ -10,4 +10,6 @@ from pdp_solver_tpu.problem.simplify import (
     peel,
     simplify,
     set_variables,
+    fused_simplify,
+    fused_set_variables,
 )

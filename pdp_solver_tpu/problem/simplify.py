@@ -169,3 +169,131 @@ def set_variables(batch: FGBatch, state: ProblemState,
                   assignment: jnp.ndarray) -> ProblemState:
     """Fix variables then re-simplify (solver.py:275-279) - the decimation step."""
     return simplify(batch, set_variable_core(batch, state, assignment))
+
+
+# --------------------------------------------------------------------------
+# Fused simplification: one fixed-point loop, two reduces per round
+# --------------------------------------------------------------------------
+#
+# The reference (and the port above) runs three separate passes per
+# decimation - satisfied-clause removal (set_variable_core), a unit-prop
+# while-loop, then a peel while-loop - each with its own reduces. On the
+# kernel-count-bound TPU that is ~15+ ops per simplify round. The fused
+# loop below reaches the same fixed point with ONE clause-direction reduce
+# and ONE variable-direction reduce per round:
+#
+#   phase C (edges -> clauses, [E,2]): active-variable degree + count of
+#       true assigned literals; removes satisfied clauses, detects units.
+#   phase V (edges -> vars, [E,4]): unit forcing (input_num / var_eval)
+#       and pure-literal degrees (degree / signed_degree); applies forced
+#       and pure assignments, detects conflicts.
+#
+# Equivalence with unit_propagate+peel (verified by tests/test_simplify.py
+# fused-parity tests): pure assignments only ever satisfy clauses, so they
+# cannot create units or conflicts, and a variable that is both unit-forced
+# and pure receives the same sign either way (a forcing unit clause is an
+# active occurrence of the forced polarity, so the pure polarity matches).
+# Satisfied-clause removal via the solution invariant replaces the
+# reference's delta-based check: an active clause never contains a true
+# assigned literal, so testing all assigned literals each round (instead of
+# only the newly assigned ones) removes exactly the same clauses.
+
+
+def _fused_round(batch: FGBatch, state: ProblemState):
+    """One combined unit-prop + peel + satisfied-removal round."""
+    B = batch.batch_size
+
+    # ---- phase C: edges -> clauses ------------------------------------
+    av_e = state.active_vars[batch.edge_var]
+    sol_e = state.solution[batch.edge_var]
+    # literal true under an *assigned* variable (solution exactly 0 or 1;
+    # active variables hold 0.5 or merged predictions and never count)
+    lit_true = jnp.where(batch.edge_sign > 0, sol_e >= 1.0, sol_e <= 0.0)
+    assigned_true = (lit_true & (av_e <= 0)).astype(jnp.float32)
+
+    cd = scatter_to_clauses(
+        batch, jnp.stack([av_e * batch.edge_mask,
+                          assigned_true * batch.edge_mask], axis=1))
+    degree_f = cd[:, 0]
+    sat_f = cd[:, 1]
+
+    active_clauses = jnp.where(sat_f > 0, 0.0, state.active_clauses)
+    removed_any = jnp.sum(state.active_clauses - active_clauses)
+    single_f = (degree_f == 1).astype(jnp.float32) * active_clauses
+
+    # ---- phase V: edges -> vars ---------------------------------------
+    s_e = single_f[batch.edge_clause] * batch.edge_mask
+    c_e = active_clauses[batch.edge_clause] * batch.edge_mask
+    vd = scatter_to_vars(
+        batch, jnp.stack([s_e, batch.edge_sign * s_e,
+                          c_e, batch.edge_sign * c_e], axis=1))
+    input_num = vd[:, 0]
+    var_eval = vd[:, 1]
+    degree_v = vd[:, 2]
+    signed_degree_v = vd[:, 3]
+
+    # conflicts: a variable forced both ways by unit clauses marks its
+    # whole instance UNSAT (solver.py:247-261; >=1 conflict deactivates,
+    # not ==1 - see unit_propagate above)
+    conflict = ((jnp.abs(var_eval) != input_num).astype(jnp.float32)
+                * state.active_vars)
+    unsat_b = segment_sum(conflict, batch.var_batch, B,
+                          indices_are_sorted=True) >= 1
+    is_sat = jnp.where(unsat_b, 0.0, state.is_sat)
+    active_vars = jnp.where(unsat_b[batch.var_batch], 0.0,
+                            state.active_vars)
+    active_clauses = jnp.where(unsat_b[batch.clause_batch], 0.0,
+                               active_clauses)
+
+    # unit forcing (post-conflict mask, solver.py:264)
+    forced = ((input_num > 0) & (jnp.abs(var_eval) == input_num))
+    forced = forced.astype(jnp.float32) * active_vars
+    # pure literals incl. isolated variables (peel above)
+    pure = (degree_v == jnp.abs(signed_degree_v)).astype(jnp.float32) \
+        * active_vars * (1.0 - forced)
+
+    value = forced * jnp.sign(var_eval) + pure * jnp.sign(signed_degree_v)
+    fixed = jnp.maximum(forced, pure * (degree_v > 0)) * (jnp.abs(value) > 0)
+    # isolated pure variables (degree 0) deactivate without a value write,
+    # exactly like peel's (sign(0)+1)/2 = 0.5
+    deactivate = jnp.maximum(forced * (jnp.abs(value) > 0), pure)
+
+    solution = jnp.where(fixed > 0, (value + 1.0) / 2.0, state.solution)
+    active_vars = jnp.where(deactivate > 0, 0.0, active_vars)
+
+    new_state = ProblemState(active_vars=active_vars,
+                             active_clauses=active_clauses,
+                             solution=solution, is_sat=is_sat)
+    changed = (removed_any + jnp.sum(deactivate)
+               + jnp.sum(unsat_b.astype(jnp.float32))) > 0
+    return new_state, changed
+
+
+def fused_simplify(batch: FGBatch, state: ProblemState) -> ProblemState:
+    """Simplify to the unit-prop + peel fixed point in one while_loop."""
+
+    def cond(carry):
+        _, changed = carry
+        return changed
+
+    def body(carry):
+        state, _ = carry
+        return _fused_round(batch, state)
+
+    state, _ = jax.lax.while_loop(
+        cond, body, (state, jnp.sum(batch.edge_mask) >= 0))
+    return state
+
+
+def fused_set_variables(batch: FGBatch, state: ProblemState,
+                        assignment: jnp.ndarray) -> ProblemState:
+    """Decimation step via the fused loop: write the assignment, deactivate
+    the variables, and let the first fused round remove the satisfied
+    clauses (subsumes set_variable_core's delta-based satisfied check)."""
+    assignment = assignment * state.active_vars
+    assigned = jnp.abs(assignment) == 1
+    state = state._replace(
+        active_vars=jnp.where(assigned, 0.0, state.active_vars),
+        solution=jnp.where(assigned, (assignment + 1.0) / 2.0,
+                           state.solution))
+    return fused_simplify(batch, state)

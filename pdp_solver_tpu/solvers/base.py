@@ -34,7 +34,7 @@ from pdp_solver_tpu.modules import predict as P
 from pdp_solver_tpu.modules import propagate as PR
 from pdp_solver_tpu.ops import segment_sum
 from pdp_solver_tpu.ops.segment import segment_argmax_first
-from pdp_solver_tpu.problem.simplify import simplify as simplify_problem
+from pdp_solver_tpu.problem.simplify import fused_simplify as simplify_problem
 from pdp_solver_tpu.problem.state import (
     ProblemState, compute_edge_mask, init_problem_state)
 from pdp_solver_tpu.train.loss import cnf_evaluate
@@ -281,6 +281,16 @@ class PDPSolver:
             batch = replicate_batch(batch, replication)
             if graph_feat is not None:
                 graph_feat = jnp.tile(graph_feat, (replication, 1))
+        if graph_feat is None and batch.graph_feat.shape[1] > 0:
+            # dataset-supplied per-instance meta features (batch.graph_feat
+            # is already replicated by replicate_batch)
+            graph_feat = batch.graph_feat
+        if graph_feat is None and self.cfg.meta_dim > 0:
+            # configs may declare meta_feature_dim > 0 against datasets with
+            # no meta column (several reference YAMLs do); zero features keep
+            # the module shapes consistent instead of crashing
+            graph_feat = jnp.zeros((batch.batch_size, self.cfg.meta_dim),
+                                   jnp.float32)
         meta_e = (None if graph_feat is None
                   else common.instances_to_edges(batch, graph_feat))
 
@@ -438,7 +448,20 @@ class PDPSolver:
             assign, rng, it, _ = carry
             rng, r_coin, r_rand = jax.random.split(rng, 3)
 
-            energy_b, unsat_f = _compute_energy(batch, problem, assign)
+            # energy (solver.py:486-496) and flip-delta (solver.py:469-484)
+            # share the same clause-direction columns; one reduce feeds both
+            dist = (batch.edge_sign
+                    * (assign * problem.active_vars)[batch.edge_var]
+                    * batch.edge_mask)
+            deg_e = problem.active_vars[batch.edge_var] * batch.edge_mask
+            cd = common.scatter_to_clauses(
+                batch, jnp.stack([dist, deg_e], axis=1))
+            agg_f = cd[:, 0]
+            degree_f = cd[:, 1]
+            unsat_f = ((agg_f == -degree_f).astype(jnp.float32)
+                       * problem.active_clauses)
+            energy_b = segment_sum(unsat_f, batch.clause_batch, B,
+                                   indices_are_sorted=True)
             unsat_b = (energy_b > 0).astype(jnp.float32) * batch.instance_mask
             if replication > 1:
                 # an original instance is finished once ANY replica solves it
@@ -449,14 +472,20 @@ class PDPSolver:
             else:
                 done = jnp.sum(unsat_b) <= 0.0
 
-            delta = _compute_energy_diff(batch, problem, assign, em)
+            # critical edges: the clause is decided solely by this literal
+            agg_e = agg_f[batch.edge_clause] - dist
+            degree_e = degree_f[batch.edge_clause]
+            critical = (agg_e == (1.0 - degree_e)).astype(jnp.float32) * em
+            unsat_e = unsat_f[batch.edge_clause] * batch.edge_mask
+            vd = common.scatter_to_vars(
+                batch, jnp.stack([critical * dist, unsat_e], axis=1))
+            delta = vd[:, 0]
             best_ind = segment_argmax_first(-delta, batch.var_batch, B,
                                             valid=batch.var_mask,
                                             indices_are_sorted=True)
 
-            unsat_e = unsat_f[batch.edge_clause] * batch.edge_mask
-            unsat_v = (common.scatter_to_vars(batch, unsat_e)
-                       * problem.active_vars > 0).astype(jnp.float32)
+            unsat_v = (vd[:, 1] * problem.active_vars
+                       > 0).astype(jnp.float32)
             noise = unsat_v * jax.random.uniform(r_rand, (V,))
             rand_ind = segment_argmax_first(noise, batch.var_batch, B,
                                             valid=batch.var_mask,

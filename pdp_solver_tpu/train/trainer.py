@@ -56,6 +56,8 @@ class SatTrainer:
 
         self._optimizer = None
         self._step_cache = {}
+        # reference trainer.py:45 _counter (per-formatted-prediction count)
+        self._prediction_counter = 0
 
     # ---------------------------------------------------------------- utils
 
@@ -174,7 +176,7 @@ class SatTrainer:
                 total_loss, n_batches = 0.0, 0
                 total_examples = 0
                 n_total_batches = len(train_loader)
-                for batch, _ in train_loader:
+                for batch, _, macro_done in train_loader.iter_segments():
                     train_state, loss = train_step(
                         train_state, self._next_rng(), batch)
                     total_loss += float(loss)
@@ -188,11 +190,12 @@ class SatTrainer:
                                   int(min(n_batches, n_total_batches) * 100
                                       / max(n_total_batches, 1))),
                               end="\r")
-                    # reference increments once per macro batch
-                    # (base.py:144-145); we track per segment which only
-                    # shifts the annealing schedule slightly
-                    train_state = train_state._replace(
-                        global_step=train_state.global_step + 1.0)
+                    # the reference increments once per macro batch
+                    # (base.py:144-145), so the annealing temperature must
+                    # only advance on the last segment of each macro-batch
+                    if macro_done:
+                        train_state = train_state._replace(
+                            global_step=train_state.global_step + 1.0)
 
                 losses[epoch, rep] = total_loss / max(total_examples, 1)
                 self.params = train_state.params
@@ -333,6 +336,11 @@ class SatTrainer:
         lines = []
         for b in range(n_real):
             sel = (var_batch == b) & var_mask
+            # byte-compat with the reference (trainer.py:137-146): unnamed
+            # instances emit ID "" - the reference's _counter is incremented
+            # per instance but never used in the output; mirrored here so
+            # callers can read how many predictions have been formatted
+            self._prediction_counter += 1
             instance = {
                 "ID": misc[b][0] if len(misc[b]) > 0 else "",
                 "label": int(labels[b]),

@@ -96,3 +96,83 @@ def test_simplify_under_jit():
     batch, state = _setup([[1], [-1, 2]], 2, pad=True)
     out = jax.jit(simplify)(batch, state)
     np.testing.assert_allclose(np.asarray(out.solution)[:2], [1, 1])
+
+
+# ------------------------------------------------------------------
+# Fused fixed point (one combined loop) vs the sequential reference port
+# ------------------------------------------------------------------
+
+def _states_equal(a, b):
+    np.testing.assert_allclose(a.active_vars, b.active_vars)
+    np.testing.assert_allclose(a.active_clauses, b.active_clauses)
+    np.testing.assert_allclose(a.is_sat, b.is_sat)
+    # solutions must agree exactly on assigned (inactive) variables
+    inactive = np.asarray(a.active_vars) == 0
+    np.testing.assert_allclose(np.asarray(a.solution)[inactive],
+                               np.asarray(b.solution)[inactive])
+
+
+def test_fused_simplify_matches_sequential_handcrafted():
+    from pdp_solver_tpu.problem import fused_simplify
+    cases = [
+        [[1], [-1, 2], [-2, 3]],           # unit chain
+        [[1], [-1]],                        # conflict -> UNSAT
+        [[1, 2], [1, 3]],                   # pure literal x1
+        [[1], [-1, 2], [2, 3], [3, 4]],     # units feeding pures
+        [[1, 2, 3]],                        # nothing unit, x all pure
+        [[-1], [1, 2], [-2]],               # unit + conflict chain
+    ]
+    for clauses in cases:
+        n = max(abs(l) for c in clauses for l in c)
+        batch, state = _setup(clauses, n, pad=True)
+        seq = simplify(batch, state)
+        fused = fused_simplify(batch, state)
+        _states_equal(seq, fused)
+
+
+def test_fused_simplify_matches_sequential_random():
+    from pdp_solver_tpu.problem import fused_simplify
+    from tests.helpers import random_ksat
+    rng = np.random.default_rng(11)
+    for trial in range(30):
+        n = int(rng.integers(5, 25))
+        m = int(rng.integers(3, 40))
+        k = int(rng.integers(1, 4))
+        clauses = random_ksat(rng, n, m, k=min(k, n))
+        insts = [cnf_instance(n, clauses)]
+        if trial % 3 == 0:   # multi-instance batches too
+            clauses2 = random_ksat(rng, 8, 12, k=2)
+            insts.append(cnf_instance(8, clauses2))
+        batch = pack_instances(insts)
+        state = init_problem_state(batch)
+        _states_equal(simplify(batch, state), fused_simplify(batch, state))
+
+
+def test_fused_set_variables_matches_sequential_random():
+    from pdp_solver_tpu.problem import fused_set_variables
+    from tests.helpers import random_ksat
+    rng = np.random.default_rng(12)
+    for _ in range(20):
+        n = int(rng.integers(5, 20))
+        clauses = random_ksat(rng, n, int(rng.integers(5, 30)), k=3)
+        batch = pack_instances([cnf_instance(n, clauses)])
+        state = simplify(batch, init_problem_state(batch))
+        # decimate a random still-active variable (if any)
+        act = np.flatnonzero(np.asarray(state.active_vars) > 0)
+        if len(act) == 0:
+            continue
+        v = int(rng.choice(act))
+        sign = float(rng.choice([-1.0, 1.0]))
+        assign = np.zeros(batch.num_vars, np.float32)
+        assign[v] = sign
+        seq = set_variables(batch, state, jnp.asarray(assign))
+        fused = fused_set_variables(batch, state, jnp.asarray(assign))
+        _states_equal(seq, fused)
+
+
+def test_fused_simplify_under_jit():
+    from pdp_solver_tpu.problem import fused_simplify
+    batch, state = _setup([[1], [-1, 2], [-2, 3]], 3, pad=True)
+    out = jax.jit(fused_simplify)(batch, state)
+    np.testing.assert_allclose(out.solution[:3], [1, 1, 1])
+    np.testing.assert_allclose(out.active_clauses, 0.0)
