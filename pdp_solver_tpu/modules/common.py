@@ -103,6 +103,43 @@ def scatter_to_vars(batch: FGBatch, x_e):
     return segment_sum(x_e * m, batch.edge_var, batch.num_vars)
 
 
+# ---- column-tuple reduce API -------------------------------------------
+# Hot paths pass C separate 1-D [E] columns and get back [C, N] rows.
+# On TPU an [E, C] array with tiny C is a pathological layout: the
+# stack/transpose relayouts around it cost more than the reduce itself
+# (measured in docs/profile_phases.json follow-ups), so the kernels take
+# the columns separately and stack in VMEM.
+
+def scatter_to_vars_cols(batch: FGBatch, cols):
+    """Segment-sum each 1-D [E] column into variables -> f32[C, V]."""
+    cols = tuple(c * batch.edge_mask for c in cols)
+    if _use_windowed(batch.fast_var, batch.num_vars, len(cols)):
+        from pdp_solver_tpu.ops.pallas_reduce import windowed_segment_sum_cols
+        return windowed_segment_sum_cols(
+            cols, batch.edge_var, batch.num_vars,
+            interpret=jax.default_backend() != "tpu")
+    return segment_sum(jnp.stack(cols, axis=0).T, batch.edge_var,
+                       batch.num_vars).T
+
+
+def scatter_to_clauses_cols(batch: FGBatch, cols):
+    """Segment-sum each 1-D [E] column into clauses -> f32[C, F]."""
+    cols = tuple(c * batch.edge_mask for c in cols)
+    mode = _backend()
+    if batch.clause_width > 0 and mode in ("auto", "pallas", "windowed"):
+        from pdp_solver_tpu.ops.pallas_reduce import uniform_clause_sum_cols
+        return uniform_clause_sum_cols(cols, batch.clause_width,
+                                       batch.num_clauses)
+    if _use_windowed(batch.fast_clause, batch.num_clauses, len(cols)):
+        from pdp_solver_tpu.ops.pallas_reduce import windowed_segment_sum_cols
+        return windowed_segment_sum_cols(
+            cols, batch.edge_clause, batch.num_clauses,
+            interpret=jax.default_backend() != "tpu")
+    return segment_sum(jnp.stack(cols, axis=0).T, batch.edge_clause,
+                       batch.num_clauses,
+                       indices_are_sorted=True).T
+
+
 def scatter_to_clauses(batch: FGBatch, x_e):
     """mm(function_mask [FxE], x): sum each clause's edge rows.
 

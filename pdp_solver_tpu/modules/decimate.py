@@ -161,10 +161,10 @@ def sequential_decimator_apply(cfg: SeqDecimatorConfig,
     for x in cols:
         c = safe_exp(30.0 * x) * batch.edge_mask
         stacked.extend([x * c, c])
-    nd = common.scatter_to_vars(batch, jnp.stack(stacked, axis=1))
-    sm = nd[:, 0::2] / jnp.maximum(nd[:, 1::2], 1.0)   # [V, 1 or 2]
-    sm = sm * problem.active_vars[:, None]
-    mx = segment_max(jnp.where(batch.var_mask[:, None] > 0, sm, -jnp.inf),
+    nd = common.scatter_to_vars_cols(batch, tuple(stacked))   # [2C, V]
+    sm = nd[0::2] / jnp.maximum(nd[1::2], 1.0)                # [C, V]
+    sm = sm * problem.active_vars[None, :]
+    mx = segment_max(jnp.where(batch.var_mask[None, :] > 0, sm, -jnp.inf).T,
                      batch.var_batch, B, indices_are_sorted=True)
     mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
     diff_b = mx[:, 0]

@@ -117,19 +117,20 @@ def survey_scorer_apply(params, cfg: SurveyScorerConfig, batch: FGBatch,
     pos_w = (batch.edge_sign == 1).astype(jnp.float32)
     neg_w = (batch.edge_sign == -1).astype(jnp.float32)
     # force / positive / negative / don't-care aggregations all ride one
-    # stacked [E,4] reduction
-    agg = common.scatter_to_vars(batch, jnp.concatenate(
-        [force_e, fm * col(pos_w), fm * col(neg_w), fm], axis=1))
-    external_force = jnp.sign(agg[:, 0:1])
-    pos = agg[:, 1:2] + safe_log(
+    # stacked four-column reduction (1-D columns - no [E,4] relayout)
+    fm1 = fm[:, 0]
+    agg = common.scatter_to_vars_cols(
+        batch, (force_e[:, 0], fm1 * pos_w, fm1 * neg_w, fm1))
+    external_force = jnp.sign(agg[0])[:, None]
+    pos = agg[1][:, None] + safe_log(
         1.0 - cfg.pi * (external_force == 1).astype(jnp.float32),
         LOG_EPS_SCORE)
-    neg = agg[:, 2:3] + safe_log(
+    neg = agg[2][:, None] + safe_log(
         1.0 - cfg.pi * (external_force == -1).astype(jnp.float32),
         LOG_EPS_SCORE)
 
     pns = pos + neg
-    dont_care = agg[:, 3:4] + safe_log(
+    dont_care = agg[3][:, None] + safe_log(
         jnp.asarray(1.0 - cfg.pi, jnp.float32), LOG_EPS_SCORE)
 
     bias = (2.0 * pns + dont_care) / 4.0

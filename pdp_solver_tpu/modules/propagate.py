@@ -161,13 +161,12 @@ def survey_propagator_apply(params, cfg: SurveyPropagatorConfig,
 
     pos_w = (batch.edge_sign == 1).astype(jnp.float32)
     neg_w = (batch.edge_sign == -1).astype(jnp.float32)
-    # both polarity aggregations ride one stacked [E,2] reduction
-    pn = common.gather_from_vars(
-        batch, common.scatter_to_vars(
-            batch, jnp.concatenate([log1m * col(pos_w),
-                                    log1m * col(neg_w)], axis=1)))
-    pos = pn[:, 0:1]
-    neg = pn[:, 1:2]
+    # both polarity aggregations ride one stacked two-column reduction
+    # (1-D columns - no [E,2] relayout)
+    lm = log1m[:, 0]
+    pn = common.scatter_to_vars_cols(batch, (lm * pos_w, lm * neg_w))
+    pos = pn[0][batch.edge_var][:, None]
+    neg = pn[1][batch.edge_var][:, None]
 
     same_sign = 0.5 * (1 + ef) * pos + 0.5 * (1 - ef) * neg - log1m
     same_sign = same_sign + safe_log(

@@ -42,51 +42,60 @@ ALIGN = 1024     # window starts provably aligned for Mosaic dynamic slices
 WINDOW = 2048    # output window per tile; invariant: tile id span <= W - A
 
 
-def _kernel(ids_ref, x_ref, out_ref):
-    step = pl.program_id(0)
+def _make_kernel(ncols):
+    def _kernel(ids_ref, *refs):
+        col_refs, out_ref = refs[:ncols], refs[ncols]
+        step = pl.program_id(0)
 
-    @pl.when(step == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        @pl.when(step == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
 
-    ids = ids_ref[:]                            # i32[T]
-    x = x_ref[:]                                # f32[C, T]
+        ids = ids_ref[:]                        # i32[T]
+        # columns arrive as separate 1-D [T] refs (native layout - no host
+        # [E,C] interleave/transpose, which profiling showed costs more than
+        # the reduce itself); stack them in VMEM
+        x = jnp.stack([r[:] for r in col_refs], axis=0)   # f32[C, T]
 
-    base = (jnp.min(ids) // ALIGN) * ALIGN
-    base = pl.multiple_of(base, ALIGN)
-    rel = ids - base                            # in [0, WINDOW)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE, WINDOW), 1)
-    onehot = (rel[:, None] == col_ids).astype(jnp.float32)
-    # sums[c, w] = sum_t x[c, t] * onehot[t, w]
-    sums = jnp.dot(x, onehot, preferred_element_type=jnp.float32)
+        base = (jnp.min(ids) // ALIGN) * ALIGN
+        base = pl.multiple_of(base, ALIGN)
+        rel = ids - base                        # in [0, WINDOW)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE, WINDOW), 1)
+        onehot = (rel[:, None] == col_ids).astype(jnp.float32)
+        # sums[c, w] = sum_t x[c, t] * onehot[t, w]. HIGHEST precision is
+        # required for exactness: the MXU's default f32 path rounds operands
+        # to bf16, which puts ~0.4%-relative noise on every reduced value
+        # (measured on chip); with a 0/1 right operand the highest-precision
+        # pass restores near-bit-exact sums at negligible cost here.
+        sums = jnp.dot(x, onehot, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
 
-    window = out_ref[:, pl.ds(base, WINDOW)]
-    out_ref[:, pl.ds(base, WINDOW)] = window + sums
+        window = out_ref[:, pl.ds(base, WINDOW)]
+        out_ref[:, pl.ds(base, WINDOW)] = window + sums
+    return _kernel
 
 
-def _run(x_ct, segment_ids, num_segments, interpret):
-    """x_ct: f32[C, E] column-major edge values -> f32[C, num_segments]."""
-    C, E = x_ct.shape
+def _run(cols, segment_ids, num_segments, interpret):
+    """cols: tuple of f32[E] columns -> f32[C, num_segments]."""
+    C = len(cols)
+    E = cols[0].shape[0]
     E_pad = -(-E // TILE) * TILE
     N_pad = -(-num_segments // ALIGN) * ALIGN + WINDOW
     if E_pad != E:
         pad_id = segment_ids[-1]
         segment_ids = jnp.concatenate(
             [segment_ids, jnp.full((E_pad - E,), pad_id, segment_ids.dtype)])
-        x_ct = jnp.concatenate(
-            [x_ct, jnp.zeros((C, E_pad - E), x_ct.dtype)], axis=1)
+        zpad = jnp.zeros((E_pad - E,), jnp.float32)
+        cols = tuple(jnp.concatenate([c, zpad]) for c in cols)
 
     out = pl.pallas_call(
-        _kernel,
+        _make_kernel(C),
         grid=(E_pad // TILE,),
-        in_specs=[
-            pl.BlockSpec((TILE,), lambda i: (i,)),
-            pl.BlockSpec((C, TILE), lambda i: (0, i)),
-        ],
+        in_specs=[pl.BlockSpec((TILE,), lambda i: (i,))] * (1 + C),
         out_specs=pl.BlockSpec((C, N_pad), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((C, N_pad), jnp.float32),
         interpret=interpret,
-    )(segment_ids, x_ct)
+    )(segment_ids, *cols)
     return out[:, :num_segments]
 
 
@@ -95,43 +104,65 @@ def _make_fn(num_segments, interpret):
     """custom_vjp wrapper specialised per static segment count."""
 
     @jax.custom_vjp
-    def f(x_ct, segment_ids):
-        return _run(x_ct, segment_ids, num_segments, interpret)
+    def f(segment_ids, *cols):
+        return _run(cols, segment_ids, num_segments, interpret)
 
-    def fwd(x_ct, segment_ids):
-        return f(x_ct, segment_ids), segment_ids
+    def fwd(segment_ids, *cols):
+        return f(segment_ids, *cols), segment_ids
 
     def bwd(segment_ids, g):
         # transpose of a segment sum is a gather of the cotangent
-        return g[:, segment_ids], None
+        return (None,) + tuple(g[i][segment_ids]
+                               for i in range(g.shape[0]))
 
     f.defvjp(fwd, bwd)
     return f
 
 
-def windowed_segment_sum(x, segment_ids, num_segments, interpret=False):
-    """Exact segment sum for ids satisfying the windowed invariant.
+def windowed_segment_sum_cols(cols, segment_ids, num_segments,
+                              interpret=False):
+    """Exact multi-column segment sum for ids satisfying the windowed
+    invariant. `cols` is a tuple of f32[E] columns (kept as separate 1-D
+    arrays on purpose: [E, C] interleaves/transposes with tiny minor dims
+    are relayouts that cost more than the reduce on TPU). Returns
+    f32[C, num_segments]; row i is the reduce of cols[i].
 
-    x: f32[E] or f32[E, C] -> f32[num_segments] / f32[num_segments, C].
     The caller owns checking the invariant (FGBatch.fast_var/fast_clause);
     out-of-window ids silently drop, so never call this unchecked.
     """
-    scalar = x.ndim == 1
-    x_ct = (x[None, :] if scalar else x.T).astype(jnp.float32)
-    out = _make_fn(int(num_segments), bool(interpret))(
-        x_ct, segment_ids.astype(jnp.int32))
-    return out[0] if scalar else out.T
+    cols = tuple(c.astype(jnp.float32) for c in cols)
+    return _make_fn(int(num_segments), bool(interpret))(
+        segment_ids.astype(jnp.int32), *cols)
+
+
+def windowed_segment_sum(x, segment_ids, num_segments, interpret=False):
+    """[E] / [E, C] compatibility wrapper over windowed_segment_sum_cols."""
+    if x.ndim == 1:
+        return windowed_segment_sum_cols(
+            (x,), segment_ids, num_segments, interpret)[0]
+    cols = tuple(x[:, i] for i in range(x.shape[1]))
+    return windowed_segment_sum_cols(cols, segment_ids, num_segments,
+                                     interpret).T
+
+
+def uniform_clause_sum_cols(cols, k, num_clauses):
+    """Clause-direction segment sum for uniform-width clause-major batches:
+    a per-column [F, k] reshape-sum, no scatter and no [E, C] interleave.
+    cols: tuple of f32[E]; returns f32[C, num_clauses]. Clause c owns edges
+    [c*k, (c+1)*k); padding edges carry zeros (callers pre-mask)."""
+    need = k * num_clauses
+    outs = []
+    for c in cols:
+        E = c.shape[0]
+        if need > E:
+            c = jnp.concatenate([c, jnp.zeros((need - E,), c.dtype)])
+        outs.append(c[:need].reshape(num_clauses, k).sum(axis=1))
+    return jnp.stack(outs, axis=0)
 
 
 def uniform_clause_sum(x, k, num_clauses):
-    """Clause-direction segment sum for uniform-width clause-major batches:
-    a [F, k] reshape-sum, no scatter at all. x: [E] or [E, C]; clause c owns
-    edges [c*k, (c+1)*k); padding edges carry zeros (callers pre-mask)."""
-    scalar = x.ndim == 1
-    x2 = x[:, None] if scalar else x
-    E, C = x2.shape
-    need = k * num_clauses
-    if need > E:
-        x2 = jnp.concatenate([x2, jnp.zeros((need - E, C), x2.dtype)])
-    out = x2[:need].reshape(num_clauses, k, C).sum(axis=1)
-    return out[:, 0] if scalar else out
+    """[E] / [E, C] compatibility wrapper over uniform_clause_sum_cols."""
+    if x.ndim == 1:
+        return uniform_clause_sum_cols((x,), k, num_clauses)[0]
+    cols = tuple(x[:, i] for i in range(x.shape[1]))
+    return uniform_clause_sum_cols(cols, k, num_clauses).T

@@ -14,7 +14,9 @@ import jax
 import jax.numpy as jnp
 
 from pdp_solver_tpu.fg.batch import FGBatch
-from pdp_solver_tpu.modules.common import scatter_to_vars, scatter_to_clauses
+from pdp_solver_tpu.modules.common import (
+    scatter_to_vars, scatter_to_clauses, scatter_to_vars_cols,
+    scatter_to_clauses_cols)
 from pdp_solver_tpu.ops import segment_sum
 from pdp_solver_tpu.problem.state import ProblemState
 
@@ -31,11 +33,11 @@ def set_variable_core(batch: FGBatch, state: ProblemState,
 
     a_e = assignment[batch.edge_var] * batch.edge_mask
     # number of assigned inputs / signed evaluation per clause, one stacked
-    # [E,2] reduction
-    ie = scatter_to_clauses(
-        batch, jnp.stack([jnp.abs(a_e), batch.edge_sign * a_e], axis=1))
-    input_num = ie[:, 0]
-    clause_eval = ie[:, 1]
+    # two-column reduction
+    ie = scatter_to_clauses_cols(
+        batch, (jnp.abs(a_e), batch.edge_sign * a_e))
+    input_num = ie[0]
+    clause_eval = ie[1]
 
     # a clause with at least one satisfying assigned literal is removed
     satisfied = (clause_eval > -input_num) & (state.active_clauses > 0)
@@ -73,10 +75,9 @@ def unit_propagate(batch: FGBatch, state: ProblemState) -> ProblemState:
     def body(carry):
         state, single = carry
         s_e = single[batch.edge_clause] * batch.edge_mask
-        ie = scatter_to_vars(
-            batch, jnp.stack([s_e, batch.edge_sign * s_e], axis=1))
-        input_num = ie[:, 0]
-        var_eval = ie[:, 1]
+        ie = scatter_to_vars_cols(batch, (s_e, batch.edge_sign * s_e))
+        input_num = ie[0]
+        var_eval = ie[1]
 
         # conflicting variables are forced both ways by unit clauses
         conflict = ((jnp.abs(var_eval) != input_num).astype(jnp.float32)
@@ -118,10 +119,10 @@ def peel(batch: FGBatch, state: ProblemState) -> ProblemState:
     """
     V, F = batch.num_vars, batch.num_clauses
     e_clause_active = state.active_clauses[batch.edge_clause] * batch.edge_mask
-    ds = scatter_to_vars(batch, jnp.stack(
-        [e_clause_active, batch.edge_sign * e_clause_active], axis=1))
-    degree = ds[:, 0]
-    signed_degree = ds[:, 1]
+    ds = scatter_to_vars_cols(
+        batch, (e_clause_active, batch.edge_sign * e_clause_active))
+    degree = ds[0]
+    signed_degree = ds[1]
 
     def pure_vars(state, degree, signed_degree):
         return ((degree == jnp.abs(signed_degree)).astype(jnp.float32)
@@ -140,10 +141,9 @@ def peel(batch: FGBatch, state: ProblemState) -> ProblemState:
         single_f = (touched > 0).astype(jnp.float32) * state.active_clauses
 
         f_e = single_f[batch.edge_clause] * batch.edge_mask
-        dd = scatter_to_vars(
-            batch, jnp.stack([f_e, batch.edge_sign * f_e], axis=1))
-        delta = dd[:, 0] * state.active_vars
-        signed_delta = dd[:, 1] * state.active_vars
+        dd = scatter_to_vars_cols(batch, (f_e, batch.edge_sign * f_e))
+        delta = dd[0] * state.active_vars
+        signed_delta = dd[1] * state.active_vars
 
         solution = jnp.where(
             single_v == 1,
@@ -211,11 +211,9 @@ def _fused_round(batch: FGBatch, state: ProblemState):
     lit_true = jnp.where(batch.edge_sign > 0, sol_e >= 1.0, sol_e <= 0.0)
     assigned_true = (lit_true & (av_e <= 0)).astype(jnp.float32)
 
-    cd = scatter_to_clauses(
-        batch, jnp.stack([av_e * batch.edge_mask,
-                          assigned_true * batch.edge_mask], axis=1))
-    degree_f = cd[:, 0]
-    sat_f = cd[:, 1]
+    cd = scatter_to_clauses_cols(batch, (av_e, assigned_true))
+    degree_f = cd[0]
+    sat_f = cd[1]
 
     active_clauses = jnp.where(sat_f > 0, 0.0, state.active_clauses)
     removed_any = jnp.sum(state.active_clauses - active_clauses)
@@ -224,13 +222,12 @@ def _fused_round(batch: FGBatch, state: ProblemState):
     # ---- phase V: edges -> vars ---------------------------------------
     s_e = single_f[batch.edge_clause] * batch.edge_mask
     c_e = active_clauses[batch.edge_clause] * batch.edge_mask
-    vd = scatter_to_vars(
-        batch, jnp.stack([s_e, batch.edge_sign * s_e,
-                          c_e, batch.edge_sign * c_e], axis=1))
-    input_num = vd[:, 0]
-    var_eval = vd[:, 1]
-    degree_v = vd[:, 2]
-    signed_degree_v = vd[:, 3]
+    vd = scatter_to_vars_cols(
+        batch, (s_e, batch.edge_sign * s_e, c_e, batch.edge_sign * c_e))
+    input_num = vd[0]
+    var_eval = vd[1]
+    degree_v = vd[2]
+    signed_degree_v = vd[3]
 
     # conflicts: a variable forced both ways by unit clauses marks its
     # whole instance UNSAT (solver.py:247-261; >=1 conflict deactivates,

@@ -454,10 +454,9 @@ class PDPSolver:
                     * (assign * problem.active_vars)[batch.edge_var]
                     * batch.edge_mask)
             deg_e = problem.active_vars[batch.edge_var] * batch.edge_mask
-            cd = common.scatter_to_clauses(
-                batch, jnp.stack([dist, deg_e], axis=1))
-            agg_f = cd[:, 0]
-            degree_f = cd[:, 1]
+            cd = common.scatter_to_clauses_cols(batch, (dist, deg_e))
+            agg_f = cd[0]
+            degree_f = cd[1]
             unsat_f = ((agg_f == -degree_f).astype(jnp.float32)
                        * problem.active_clauses)
             energy_b = segment_sum(unsat_f, batch.clause_batch, B,
@@ -477,14 +476,14 @@ class PDPSolver:
             degree_e = degree_f[batch.edge_clause]
             critical = (agg_e == (1.0 - degree_e)).astype(jnp.float32) * em
             unsat_e = unsat_f[batch.edge_clause] * batch.edge_mask
-            vd = common.scatter_to_vars(
-                batch, jnp.stack([critical * dist, unsat_e], axis=1))
-            delta = vd[:, 0]
+            vd = common.scatter_to_vars_cols(
+                batch, (critical * dist, unsat_e))
+            delta = vd[0]
             best_ind = segment_argmax_first(-delta, batch.var_batch, B,
                                             valid=batch.var_mask,
                                             indices_are_sorted=True)
 
-            unsat_v = (vd[:, 1] * problem.active_vars
+            unsat_v = (vd[1] * problem.active_vars
                        > 0).astype(jnp.float32)
             noise = unsat_v * jax.random.uniform(r_rand, (V,))
             rand_ind = segment_argmax_first(noise, batch.var_batch, B,
@@ -567,10 +566,10 @@ def _compute_energy(batch: FGBatch, problem: ProblemState, assign):
     F, B = batch.num_clauses, batch.batch_size
     av_e = (assign * problem.active_vars)[batch.edge_var] * batch.edge_mask
     deg_e = problem.active_vars[batch.edge_var] * batch.edge_mask
-    ad = common.scatter_to_clauses(
-        batch, jnp.stack([batch.edge_sign * av_e, deg_e], axis=1))
-    agg = ad[:, 0]
-    degree = ad[:, 1]
+    ad = common.scatter_to_clauses_cols(
+        batch, (batch.edge_sign * av_e, deg_e))
+    agg = ad[0]
+    degree = ad[1]
     unsat = (agg == -degree).astype(jnp.float32) * problem.active_clauses
     energy = segment_sum(unsat, batch.clause_batch, B,
                          indices_are_sorted=True)
@@ -585,11 +584,9 @@ def _compute_energy_diff(batch: FGBatch, problem: ProblemState, assign, em):
     dist = (batch.edge_sign * (assign * problem.active_vars)[batch.edge_var]
             * batch.edge_mask)
     deg_e = problem.active_vars[batch.edge_var] * batch.edge_mask
-    ad = common.gather_from_clauses(
-        batch, common.scatter_to_clauses(
-            batch, jnp.stack([dist, deg_e], axis=1)))
-    agg = ad[:, 0] - dist
-    degree = ad[:, 1]
+    ad = common.scatter_to_clauses_cols(batch, (dist, deg_e))
+    agg = ad[0][batch.edge_clause] - dist
+    degree = ad[1][batch.edge_clause]
 
     critical = (agg == (1.0 - degree)).astype(jnp.float32) * em
     return common.scatter_to_vars(batch, critical * dist)
