@@ -185,6 +185,58 @@ def main():
     except Exception:
         per_iter = None
 
+    # per-phase slopes (median of 3) so the headline decomposes into the
+    # SP-sweep and WalkSAT costs it is built from
+    phases = {}
+    if os.environ.get("BENCH_PHASES", "1") != "0":
+        try:
+            from functools import partial
+
+            from pdp_solver_tpu.modules import propagate as PR
+            from pdp_solver_tpu.problem.state import (
+                init_problem_state, compute_edge_mask)
+
+            problem0 = init_problem_state(batch)
+            em0 = compute_edge_mask(batch, problem0)
+            ae0 = jnp.ones((batch.num_edges,), jnp.float32)
+
+            @partial(jax.jit, static_argnums=0)
+            def sweep_n(n, ps):
+                def body(i, ps):
+                    return PR.survey_propagator_apply(
+                        {}, solver.prop_cfg, batch, ps, ps, em0, ae0)
+                return jax.lax.fori_loop(0, n, body, ps)
+
+            @partial(jax.jit, static_argnums=3)
+            def ls_n(rng, problem, pred, n):
+                return solver._local_search(rng, batch, problem, pred, 1, n)
+
+            def mslope(f, lo, hi):
+                f(lo), f(hi)
+
+                def t(k):
+                    t0 = time.time()
+                    out = f(k)
+                    float(sum(jnp.sum(x) for x in
+                              jax.tree_util.tree_leaves(out)))
+                    return time.time() - t0
+
+                t(lo)
+                ds = sorted(max((t(hi) - t(lo)) / (hi - lo), 0.0)
+                            for _ in range(3))
+                return ds[1]
+
+            phases["sp_sweep_ms"] = round(
+                mslope(lambda n: sweep_n(n, state.prop), 5, 25) * 1e3, 2)
+            pred0 = 0.5 * jnp.ones((batch.num_vars, 1))
+            phases["walksat_iter_ms"] = round(
+                mslope(lambda n: ls_n(r_fwd, problem0, pred0, n),
+                       10, 50) * 1e3, 2)
+            phases["pdp_iteration_ms"] = (round(per_iter * 1e3, 2)
+                                          if per_iter else None)
+        except Exception:
+            phases = {}
+
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "baselines", "reference_measured.json")
     ref = None
@@ -216,6 +268,7 @@ def main():
         "iters": iters,
         "wall_s": round(wall, 3),
         "wall_samples_s": [round(w, 3) for w in walls],
+        "phases": phases,
         "warmup_s": round(compile_and_first, 1),
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),

@@ -199,19 +199,59 @@ def set_variables(batch: FGBatch, state: ProblemState,
 # only the newly assigned ones) removes exactly the same clauses.
 
 
+def _phase_c_f(gathered, edge_vals):
+    """Edge elementwise of the fused round's clause-direction pass."""
+    av_e, sol_e = gathered
+    sign, mask = edge_vals
+    lit_true = jnp.where(sign > 0, sol_e >= 1.0, sol_e <= 0.0)
+    assigned_true = jnp.where(lit_true & (av_e <= 0), 1.0, 0.0)
+    return (av_e * mask, assigned_true * mask), ()
+
+
+def _phase_v_f(gathered, edge_vals):
+    """Edge elementwise of the fused round's variable-direction pass."""
+    single_e, ac_e = gathered
+    sign, mask = edge_vals
+    s_e = single_e * mask
+    c_e = ac_e * mask
+    return (s_e, sign * s_e, c_e, sign * c_e), ()
+
+
+def _use_fused_kernel(batch: FGBatch) -> bool:
+    import os
+    mode = os.environ.get("PDP_FUSED_PASS", "auto")
+    if mode == "off":
+        return False
+    if mode == "on":
+        return True
+    return (batch.fast_var and batch.fast_clause
+            and jax.default_backend() == "tpu")
+
+
 def _fused_round(batch: FGBatch, state: ProblemState):
     """One combined unit-prop + peel + satisfied-removal round."""
     B = batch.batch_size
+    use_kernel = _use_fused_kernel(batch)
 
     # ---- phase C: edges -> clauses ------------------------------------
-    av_e = state.active_vars[batch.edge_var]
-    sol_e = state.solution[batch.edge_var]
-    # literal true under an *assigned* variable (solution exactly 0 or 1;
-    # active variables hold 0.5 or merged predictions and never count)
-    lit_true = jnp.where(batch.edge_sign > 0, sol_e >= 1.0, sol_e <= 0.0)
-    assigned_true = (lit_true & (av_e <= 0)).astype(jnp.float32)
-
-    cd = scatter_to_clauses_cols(batch, (av_e, assigned_true))
+    if use_kernel:
+        from pdp_solver_tpu.ops.pallas_fused import fused_edge_pass
+        cd, _ = fused_edge_pass(
+            _phase_c_f,
+            node_cols=(state.active_vars, state.solution),
+            gather_ids=batch.edge_var,
+            edge_cols=(batch.edge_sign, batch.edge_mask),
+            reduce_ids=batch.edge_clause,
+            num_segments=batch.num_clauses, n_red=2,
+            interpret=jax.default_backend() != "tpu")
+    else:
+        av_e = state.active_vars[batch.edge_var]
+        sol_e = state.solution[batch.edge_var]
+        # literal true under an *assigned* variable (solution exactly 0 or
+        # 1; active variables hold 0.5 or merged predictions, never counted)
+        lit_true = jnp.where(batch.edge_sign > 0, sol_e >= 1.0, sol_e <= 0.0)
+        assigned_true = (lit_true & (av_e <= 0)).astype(jnp.float32)
+        cd = scatter_to_clauses_cols(batch, (av_e, assigned_true))
     degree_f = cd[0]
     sat_f = cd[1]
 
@@ -220,10 +260,21 @@ def _fused_round(batch: FGBatch, state: ProblemState):
     single_f = (degree_f == 1).astype(jnp.float32) * active_clauses
 
     # ---- phase V: edges -> vars ---------------------------------------
-    s_e = single_f[batch.edge_clause] * batch.edge_mask
-    c_e = active_clauses[batch.edge_clause] * batch.edge_mask
-    vd = scatter_to_vars_cols(
-        batch, (s_e, batch.edge_sign * s_e, c_e, batch.edge_sign * c_e))
+    if use_kernel:
+        from pdp_solver_tpu.ops.pallas_fused import fused_edge_pass
+        vd, _ = fused_edge_pass(
+            _phase_v_f,
+            node_cols=(single_f, active_clauses),
+            gather_ids=batch.edge_clause,
+            edge_cols=(batch.edge_sign, batch.edge_mask),
+            reduce_ids=batch.edge_var,
+            num_segments=batch.num_vars, n_red=4,
+            interpret=jax.default_backend() != "tpu")
+    else:
+        s_e = single_f[batch.edge_clause] * batch.edge_mask
+        c_e = active_clauses[batch.edge_clause] * batch.edge_mask
+        vd = scatter_to_vars_cols(
+            batch, (s_e, batch.edge_sign * s_e, c_e, batch.edge_sign * c_e))
     input_num = vd[0]
     var_eval = vd[1]
     degree_v = vd[2]

@@ -176,3 +176,32 @@ def test_fused_simplify_under_jit():
     out = jax.jit(fused_simplify)(batch, state)
     np.testing.assert_allclose(out.solution[:3], [1, 1, 1])
     np.testing.assert_allclose(out.active_clauses, 0.0)
+
+
+def test_fused_round_kernel_path_matches(monkeypatch):
+    """PDP_FUSED_PASS=on routes the round through the fused edge-pass
+    Pallas kernel (interpret mode off-TPU); results must match exactly."""
+    from pdp_solver_tpu.problem import fused_simplify, fused_set_variables
+    from tests.helpers import random_ksat
+    rng = np.random.default_rng(13)
+    for trial in range(6):
+        n = int(rng.integers(6, 20))
+        clauses = random_ksat(rng, n, int(rng.integers(5, 30)), k=3)
+        insts = [cnf_instance(n, clauses)]
+        if trial % 2 == 0:
+            insts.append(cnf_instance(6, random_ksat(rng, 6, 10, k=2)))
+        batch = pack_instances(insts)
+        assert batch.fast_var and batch.fast_clause
+        state = init_problem_state(batch)
+        assign = np.zeros(batch.num_vars, np.float32)
+        assign[int(rng.integers(0, n))] = float(rng.choice([-1.0, 1.0]))
+
+        monkeypatch.setenv("PDP_FUSED_PASS", "off")
+        ref_s = fused_simplify(batch, state)
+        ref_a = fused_set_variables(batch, state, jnp.asarray(assign))
+        monkeypatch.setenv("PDP_FUSED_PASS", "on")
+        got_s = fused_simplify(batch, state)
+        got_a = fused_set_variables(batch, state, jnp.asarray(assign))
+        monkeypatch.delenv("PDP_FUSED_PASS")
+        _states_equal(ref_s, got_s)
+        _states_equal(ref_a, got_a)

@@ -78,14 +78,26 @@ def main():
     os.makedirs(best_dir, exist_ok=True)
     os.makedirs(last_dir, exist_ok=True)
 
-    # validation: sub-threshold 3-SAT, quick budget
-    val_batch = pack_instances(make_ksat_set(seed=11, count=32, n=40,
-                                             alpha=3.5, k=3))
+    # validation: easy 3-SAT (sensitive early - the n=40 alpha=3.5 set reads
+    # 0.000 for the first ~1k steps while the model is in fact improving;
+    # probed step-900 numbers: easy 39% vs untrained 7.8%, hard 0% pure /
+    # 75% with WalkSAT-100)
+    val_gen = UniformCNFGenerator(6, 20, 3, 3, 2.0, 3.0, seed=123)
+    val_batch = pack_instances([val_gen.generate() for _ in range(64)])
 
     trainer = SatTrainer(CFG, seed=0)
     ts = trainer.init_train_state()
+    start_step = 0
+    if (os.environ.get("TRAIN_RESUME", "1") != "0"
+            and os.path.exists(os.path.join(
+                last_dir, CFG["model_name"] + ".npz"))):
+        ts = trainer._load_train_state(ts, last_dir)
+        start_step = int(os.environ.get("TRAIN_RESUME_STEP", "0"))
+        print(f"resumed from {last_dir} (global_step "
+              f"{float(ts.global_step):.0f}, counting from {start_step})",
+              flush=True)
     step_fn = trainer._train_step_fn()
-    gen = UniformCNFGenerator(4, 100, 2, 10, 2.0, 10.0, seed=0)
+    gen = UniformCNFGenerator(4, 100, 2, 10, 2.0, 10.0, seed=start_step)
     loader = BatchLoader(generator=gen, epoch_size=10 ** 9,
                          batch_size=CFG["batch_size"],
                          limit=CFG["train_batch_limit"],
@@ -94,7 +106,7 @@ def main():
     losses, evals = [], []
     best = -1.0
     t0 = time.time()
-    done = 0
+    done = start_step
     stop = False
     while not stop:
         for batch, _, macro_done in loader.iter_segments():
