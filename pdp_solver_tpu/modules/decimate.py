@@ -63,6 +63,11 @@ def neural_decimator_apply(params, cfg: NeuralDecimatorConfig, batch: FGBatch,
     states, frozen for instances that have terminated."""
     old_var, old_fn = dec_state
     msg_var, msg_fn = message_state
+    if isinstance(msg_var, tuple):
+        # SP messages arrive as 1-D columns (p-nd-np); the GRU input wants
+        # an [E, k] feature block
+        msg_var = jnp.stack(msg_var, axis=1)
+        msg_fn = jnp.stack(msg_fn, axis=1)
     feat = col(batch.edge_sign)
     mask = col(active_edge)
 
@@ -105,6 +110,24 @@ def neural_decimator_init_state(rng, cfg: NeuralDecimatorConfig, num_edges,
 # Sequential (greedy) decimator
 # --------------------------------------------------------------------------
 
+def _smax_pass2(gathered, edge_vals):
+    """Smooth-max numerator/denominator for the convergence diff."""
+    prev_eta, eta, em, bmask = edge_vals
+    diff = jnp.abs(prev_eta - eta) * em
+    c = safe_exp(30.0 * diff) * bmask
+    return (diff * c, c), ()
+
+
+def _smax_pass4(gathered, edge_vals):
+    """Smooth-max columns for the convergence diff AND the paramagnetic
+    survey max, in one reduce."""
+    prev_eta, eta, em, bmask = edge_vals
+    diff = jnp.abs(prev_eta - eta) * em
+    cd = safe_exp(30.0 * diff) * bmask
+    ce = safe_exp(30.0 * eta) * bmask
+    return (diff * cd, cd, eta * ce, ce), ()
+
+
 class SeqDecimatorState(NamedTuple):
     prev_eta: jnp.ndarray   # f32[E] - previous clause->var survey
     counters: jnp.ndarray   # f32[B] - iterations since last decimation
@@ -146,22 +169,36 @@ def sequential_decimator_apply(cfg: SeqDecimatorConfig,
     (new_seq_state, new_problem, new_active_instances).
     """
     V, B = batch.num_vars, batch.batch_size
-    eta = message_state[1][:, 0]
+    # message_state is SPMessages (classical: fn = 1-D columns) or the
+    # neural propagator's ([E,h], [E,h]) pair (np-d-np)
+    fn_part = message_state[1]
+    eta = fn_part[0] if isinstance(fn_part, tuple) else fn_part[:, 0]
 
     # (1)+(2) paramagnetic survey max (pdp_decimate.py:127-133) and message
     # convergence (pdp_decimate.py:136-150): both are per-variable
     # smooth-maxes followed by per-instance maxes. All four smooth-max
     # columns ride ONE edge->var reduce and both instance maxes ride one
     # [V,2] segment_max (the chip is reduce-bound; see docs/PERFORMANCE.md).
-    diff = jnp.abs(seq_state.prev_eta - eta) * edge_mask
-    cols = [diff]
-    if active_instances is not None:
-        cols.append(eta)
-    stacked = []
-    for x in cols:
-        c = safe_exp(30.0 * x) * batch.edge_mask
-        stacked.extend([x * c, c])
-    nd = common.scatter_to_vars_cols(batch, tuple(stacked))   # [2C, V]
+    from pdp_solver_tpu.problem.simplify import _use_fused_kernel
+    if _use_fused_kernel(batch):
+        from pdp_solver_tpu.ops.pallas_fused import fused_edge_pass
+        f = (_smax_pass4 if active_instances is not None else _smax_pass2)
+        nd, _ = fused_edge_pass(
+            f, edge_cols=(seq_state.prev_eta, eta, edge_mask,
+                          batch.edge_mask),
+            reduce_ids=batch.edge_var, num_segments=batch.num_vars,
+            n_red=(4 if active_instances is not None else 2),
+            interpret=jax.default_backend() != "tpu")
+    else:
+        diff = jnp.abs(seq_state.prev_eta - eta) * edge_mask
+        cols = [diff]
+        if active_instances is not None:
+            cols.append(eta)
+        stacked = []
+        for x in cols:
+            c = safe_exp(30.0 * x) * batch.edge_mask
+            stacked.extend([x * c, c])
+        nd = common.scatter_to_vars_cols(batch, tuple(stacked))  # [2C, V]
     sm = nd[0::2] / jnp.maximum(nd[1::2], 1.0)                # [C, V]
     sm = sm * problem.active_vars[None, :]
     mx = segment_max(jnp.where(batch.var_mask[None, :] > 0, sm, -jnp.inf).T,
@@ -251,7 +288,7 @@ def reinforce_decimator_apply(cfg: ReinforceDecimatorConfig,
     convergence (delta <= 0.01) deactivates instances."""
     V, B = batch.num_vars, batch.batch_size
     var_msg, fn_msg = message_state
-    eta = fn_msg[:, 0]
+    eta = fn_msg[0]
 
     if active_instances is not None:
         gate = rf_state.has_prev * (jnp.sum(problem.active_vars) > 0)
@@ -268,10 +305,11 @@ def reinforce_decimator_apply(cfg: ReinforceDecimatorConfig,
     score = scorer_fn(message_state, problem)               # [V,1]
     score_e = jnp.sign(score[:, 0])[batch.edge_var]
     mask_e = active_edge
-    new_force = mask_e * score_e + (1.0 - mask_e) * fn_msg[:, 1]
-    force = jnp.where(coin, new_force, fn_msg[:, 1])
-    fn_out = fn_msg.at[:, 1].set(force)
+    new_force = mask_e * score_e + (1.0 - mask_e) * fn_msg[1]
+    force = jnp.where(coin, new_force, fn_msg[1])
 
     new_state = ReinforceDecimatorState(prev_eta=eta,
                                         has_prev=jnp.ones_like(rf_state.has_prev))
-    return new_state, (var_msg, fn_out), active_instances
+    from pdp_solver_tpu.modules.propagate import SPMessages
+    return (new_state, SPMessages(var=var_msg, fn=(fn_msg[0], force)),
+            active_instances)

@@ -93,34 +93,51 @@ def survey_scorer_init(rng, cfg: SurveyScorerConfig):
     return {"proj": mlp.linear_init(rng, cfg.message_dim, 2, bias=False)}
 
 
+def _scorer_pass(gathered, edge_vals):
+    """Fused gather+elementwise+reduce for the classical survey scorer."""
+    (ac_e,) = gathered
+    eta, force_e, sign, mask = edge_vals
+    em = ac_e * mask
+    fm1 = safe_log(1.0 - eta, LOG_EPS_SCORE) * em
+    pos_w = jnp.where(sign == 1, 1.0, 0.0)
+    neg_w = jnp.where(sign == -1, 1.0, 0.0)
+    return (force_e * mask, fm1 * pos_w, fm1 * neg_w, fm1), ()
+
+
 def survey_scorer_apply(params, cfg: SurveyScorerConfig, batch: FGBatch,
                         message_state, problem):
     """SP marginal bias q1 - q0 per variable (reference pdp_predict.py:155-192),
     with the numeric bias-shift trick and the 1e-10 log clamp."""
-    _, fn_msg = message_state
-
     if cfg.include_adaptors:
+        fn_msg = message_state[1]
         proj = mlp.linear_apply(params["proj"], fn_msg)
-        eta = jax.nn.sigmoid(proj[:, 0:1])
-        force_e = jnp.sign(proj[:, 1:2])
+        eta1 = jax.nn.sigmoid(proj[:, 0])
+        force1 = jnp.sign(proj[:, 1])
     else:
-        eta = fn_msg[:, 0:1]
-        force_e = fn_msg[:, 1:2]
+        eta1 = message_state.fn[0]
+        force1 = message_state.fn[1]
 
-    fm = safe_log(1.0 - eta, LOG_EPS_SCORE)
-
-    # messages from deactivated clauses are excluded (pdp_predict.py:171-172)
-    edge_mask = (common.gather_from_clauses(batch, problem.active_clauses)
-                 * batch.edge_mask)
-    fm = fm * col(edge_mask)
-
-    pos_w = (batch.edge_sign == 1).astype(jnp.float32)
-    neg_w = (batch.edge_sign == -1).astype(jnp.float32)
-    # force / positive / negative / don't-care aggregations all ride one
-    # stacked four-column reduction (1-D columns - no [E,4] relayout)
-    fm1 = fm[:, 0]
-    agg = common.scatter_to_vars_cols(
-        batch, (force_e[:, 0], fm1 * pos_w, fm1 * neg_w, fm1))
+    from pdp_solver_tpu.modules.propagate import _use_fused_pass
+    if _use_fused_pass(batch):
+        from pdp_solver_tpu.ops.pallas_fused import fused_edge_pass
+        agg, _ = fused_edge_pass(
+            _scorer_pass, node_cols=(problem.active_clauses,),
+            gather_ids=batch.edge_clause,
+            edge_cols=(eta1, force1, batch.edge_sign, batch.edge_mask),
+            reduce_ids=batch.edge_var, num_segments=batch.num_vars,
+            n_red=4, interpret=jax.default_backend() != "tpu")
+    else:
+        # messages from deactivated clauses are excluded
+        # (pdp_predict.py:171-172)
+        edge_mask = (common.gather_from_clauses(batch, problem.active_clauses)
+                     * batch.edge_mask)
+        fm1 = safe_log(1.0 - eta1, LOG_EPS_SCORE) * edge_mask
+        pos_w = (batch.edge_sign == 1).astype(jnp.float32)
+        neg_w = (batch.edge_sign == -1).astype(jnp.float32)
+        # force / positive / negative / don't-care aggregations all ride one
+        # stacked four-column reduction (1-D columns - no [E,4] relayout)
+        agg = common.scatter_to_vars_cols(
+            batch, (force1, fm1 * pos_w, fm1 * neg_w, fm1))
     external_force = jnp.sign(agg[0])[:, None]
     pos = agg[1][:, None] + safe_log(
         1.0 - cfg.pi * (external_force == 1).astype(jnp.float32),
@@ -151,10 +168,10 @@ def survey_scorer_apply(params, cfg: SurveyScorerConfig, batch: FGBatch,
 def reinforce_predictor_apply(batch: FGBatch, dec_state):
     """sign of the per-variable sum of external forces
     (reference pdp_predict.py:214-226)."""
-    _, fn_state = dec_state
-    force = fn_state[:, 1:2]
-    pred = (common.scatter_to_vars(batch, force) > 0).astype(jnp.float32)
-    return pred, None
+    force = dec_state.fn[1]
+    pred = (common.scatter_to_vars_cols(batch, (force,))[0]
+            > 0).astype(jnp.float32)
+    return pred[:, None], None
 
 
 def scorer_message_init_state(rng, num_edges, randomized):
@@ -162,13 +179,16 @@ def scorer_message_init_state(rng, num_edges, randomized):
     state the sequential decimator hands back to the SP propagator. Note the
     randomized variable state is NOT normalised here, unlike the propagator's
     own init (the reference keeps that line commented out)."""
+    from pdp_solver_tpu.modules.propagate import SPMessages
     if randomized:
         r1, r2 = jax.random.split(rng)
         v = jax.random.uniform(r1, (num_edges, 3))
-        f = jax.random.uniform(r2, (num_edges, 2))
-        f = f.at[:, 1].set(0.0)
+        f = jax.random.uniform(r2, (num_edges,))
+        var = (v[:, 0], v[:, 1], v[:, 2])
+        fn = (f, jnp.zeros((num_edges,), jnp.float32))
     else:
-        v = jnp.ones((num_edges, 3), jnp.float32) / 3.0
-        f = 0.5 * jnp.ones((num_edges, 2), jnp.float32)
-        f = f.at[:, 1].set(0.0)
-    return v, f
+        third = jnp.full((num_edges,), 1.0 / 3.0, jnp.float32)
+        var = (third, third, third)
+        fn = (0.5 * jnp.ones((num_edges,), jnp.float32),
+              jnp.zeros((num_edges,), jnp.float32))
+    return SPMessages(var=var, fn=fn)

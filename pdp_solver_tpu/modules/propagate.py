@@ -12,7 +12,9 @@ termination (1 = keep updating); `edge_mask` is the decimation liveness mask
 (active var x active clause x not-padding). Both are f32[E].
 """
 
+import functools
 from dataclasses import dataclass
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -104,6 +106,19 @@ def neural_propagator_init_state(rng, cfg: NeuralPropagatorConfig, num_edges,
     return v, f
 
 
+class SPMessages(NamedTuple):
+    """Survey-propagation message state as 1-D edge columns.
+
+    Layout note (TPU-first): the reference holds these as [E, 3] / [E, 2]
+    tensors (pdp_propagate.py:223-237); a minor dim of 2-3 is a pathological
+    TPU layout and every column slice/concat around it is a measured ~1 ms
+    relayout at E=524k, so the rebuild carries five separate f32[E] arrays.
+    var = (q_u, q_s, q_dc) simplex, fn = (eta survey, external force).
+    """
+    var: tuple   # (q_u, q_s, q_dc)
+    fn: tuple    # (eta, force)
+
+
 @dataclass(frozen=True)
 class SurveyPropagatorConfig:
     decimator_dim: int = 1
@@ -123,6 +138,72 @@ def survey_propagator_init(rng, cfg: SurveyPropagatorConfig):
     }
 
 
+def _sp_pass_a(gathered, edge_vals):
+    """log u per edge + its per-clause sum (sweep pass A)."""
+    u_in, em = edge_vals
+    log_u = safe_log(u_in, LOG_EPS_PROP) * em
+    return (log_u,), (log_u,)
+
+
+def _sp_pass_a_login(gathered, edge_vals):
+    """Pass A variant for inputs already in log space (adaptor path)."""
+    lu, em = edge_vals
+    log_u = lu * em
+    return (log_u,), (log_u,)
+
+
+def _sp_pass_b(gathered, edge_vals):
+    """eta survey from the clause sums + the polarity-split log(1 - eta_in)
+    reduction toward variables (sweep pass B)."""
+    (cl_sum,) = gathered
+    log_u, eta_in, em, mask, eta_state, sign = edge_vals
+    eta = safe_exp(cl_sum - log_u)
+    new_eta = mask * eta + (1.0 - mask) * eta_state
+    lm = safe_log(1.0 - eta_in, LOG_EPS_PROP) * em
+    pos_w = jnp.where(sign == 1, 1.0, 0.0)
+    neg_w = jnp.where(sign == -1, 1.0, 0.0)
+    return (lm * pos_w, lm * neg_w), (new_eta,)
+
+
+@functools.lru_cache(maxsize=None)
+def _sp_pass_c(pi):
+    def f(gathered, edge_vals):
+        """q-triplet from the variable aggregations (sweep pass C)."""
+        pos, neg = gathered
+        eta_in, em, mask, sign, force, v0, v1, v2 = edge_vals
+        lm = safe_log(1.0 - eta_in, LOG_EPS_PROP) * em
+        same = 0.5 * (1 + sign) * pos + 0.5 * (1 - sign) * neg - lm
+        same = same + safe_log(
+            1.0 - pi * jnp.where(force == sign, 1.0, 0.0), LOG_EPS_PROP)
+        # opposite-polarity aggregation never contains the current edge, so
+        # no self-subtraction (reference pdp_propagate.py:199-201)
+        opp = 0.5 * (1 - sign) * pos + 0.5 * (1 + sign) * neg
+        opp = opp + safe_log(
+            1.0 - pi * jnp.where(force == -sign, 1.0, 0.0), LOG_EPS_PROP)
+        s = safe_exp(same)
+        o = safe_exp(opp)
+        d = safe_exp(same + opp)
+        q_u = s * (1.0 - o)
+        q_s = o * (1.0 - s)
+        total = q_u + q_s + d
+        nv0 = mask * (q_u / total) + (1.0 - mask) * v0
+        nv1 = mask * (q_s / total) + (1.0 - mask) * v1
+        nv2 = mask * (d / total) + (1.0 - mask) * v2
+        return (), (nv0, nv1, nv2)
+    return f
+
+
+def _use_fused_pass(batch: FGBatch) -> bool:
+    import os
+    mode = os.environ.get("PDP_FUSED_PASS", "auto")
+    if mode == "off":
+        return False
+    if mode == "on":
+        return True
+    return (batch.fast_var and batch.fast_clause
+            and jax.default_backend() == "tpu")
+
+
 def survey_propagator_apply(params, cfg: SurveyPropagatorConfig,
                             batch: FGBatch, prop_state, dec_state,
                             edge_mask, active_edge):
@@ -131,77 +212,98 @@ def survey_propagator_apply(params, cfg: SurveyPropagatorConfig,
     clause->var survey:  eta_e = exp( sum_{e' in clause(e), e' != e} log u_e' )
     var->clause triplet: (q_u, q_s, q_dc) from polarity-split aggregations of
     log(1 - eta), with the REINFORCE external-force factor pi.
+
+    States are SPMessages (1-D edge columns). On the TPU fast path the sweep
+    runs as three fused edge passes (ops/pallas_fused.py) - one kernel per
+    gather+elementwise+reduce group - instead of ~10 separate XLA ops.
     """
-    var_state, fn_state = prop_state
-    dec_var, dec_fn = dec_state
-    mask = col(active_edge)
-    em = col(edge_mask)
-    ef = col(batch.edge_sign)
+    v0, v1, v2 = prop_state.var
+    eta_state = prop_state.fn[0]
+    mask = active_edge
+    em = edge_mask
+    sign = batch.edge_sign
 
-    # clause -> var: aggregate log u over the clause minus self
     if cfg.include_adaptors:
-        log_u = jax.nn.log_sigmoid(mlp.linear_apply(params["fn_proj"], dec_var))
-    else:
-        log_u = safe_log(dec_var[:, 0:1], LOG_EPS_PROP)
-    log_u = log_u * em
-    agg = common.aggregate_minus_self_clause(batch, log_u)
-    eta = safe_exp(agg)
-    new_fn_col0 = mask * eta + (1.0 - mask) * fn_state[:, 0:1]
-
-    # var -> clause
-    if cfg.include_adaptors:
+        # learned projections of the neural decimator state ([E, h] 2-D)
+        dec_var, dec_fn = dec_state
+        u_like = jax.nn.log_sigmoid(
+            mlp.linear_apply(params["fn_proj"], dec_var))[:, 0]
+        pass_a = _sp_pass_a_login
         proj = mlp.linear_apply(params["var_proj"], dec_fn)
-        eta_in = jax.nn.sigmoid(proj[:, 0:1])
-        external_force = jnp.sign(proj[:, 1:2])
+        eta_in = jax.nn.sigmoid(proj[:, 0])
+        force = jnp.sign(proj[:, 1])
     else:
-        eta_in = dec_fn[:, 0:1]
-        external_force = dec_fn[:, 1:2]
+        u_like = dec_state.var[0]
+        pass_a = _sp_pass_a
+        eta_in = dec_state.fn[0]
+        force = dec_state.fn[1]
 
-    log1m = safe_log(1.0 - eta_in, LOG_EPS_PROP) * em
+    if _use_fused_pass(batch):
+        from pdp_solver_tpu.ops.pallas_fused import fused_edge_pass
+        interp = jax.default_backend() != "tpu"
+        cl, (log_u,) = fused_edge_pass(
+            pass_a, edge_cols=(u_like, em),
+            reduce_ids=batch.edge_clause, num_segments=batch.num_clauses,
+            n_red=1, n_eout=1, interpret=interp)
+        pn, (new_eta,) = fused_edge_pass(
+            _sp_pass_b, node_cols=(cl[0],), gather_ids=batch.edge_clause,
+            edge_cols=(log_u, eta_in, em, mask, eta_state, sign),
+            reduce_ids=batch.edge_var, num_segments=batch.num_vars,
+            n_red=2, n_eout=1, interpret=interp)
+        _, (nv0, nv1, nv2) = fused_edge_pass(
+            _sp_pass_c(float(cfg.pi)),
+            node_cols=(pn[0], pn[1]), gather_ids=batch.edge_var,
+            edge_cols=(eta_in, em, mask, sign, force, v0, v1, v2),
+            n_eout=3, interpret=interp)
+        return SPMessages(var=(nv0, nv1, nv2), fn=(new_eta, force))
 
-    pos_w = (batch.edge_sign == 1).astype(jnp.float32)
-    neg_w = (batch.edge_sign == -1).astype(jnp.float32)
-    # both polarity aggregations ride one stacked two-column reduction
-    # (1-D columns - no [E,2] relayout)
-    lm = log1m[:, 0]
+    # ---- XLA fallback (same math, segment ops) ------------------------
+    log_u = (u_like if cfg.include_adaptors
+             else safe_log(u_like, LOG_EPS_PROP)) * em
+    agg = common.scatter_to_clauses_cols(batch, (log_u,))[0]
+    eta = safe_exp(agg[batch.edge_clause] - log_u)
+    new_eta = mask * eta + (1.0 - mask) * eta_state
+
+    lm = safe_log(1.0 - eta_in, LOG_EPS_PROP) * em
+    pos_w = (sign == 1).astype(jnp.float32)
+    neg_w = (sign == -1).astype(jnp.float32)
     pn = common.scatter_to_vars_cols(batch, (lm * pos_w, lm * neg_w))
-    pos = pn[0][batch.edge_var][:, None]
-    neg = pn[1][batch.edge_var][:, None]
+    pos = pn[0][batch.edge_var]
+    neg = pn[1][batch.edge_var]
 
-    same_sign = 0.5 * (1 + ef) * pos + 0.5 * (1 - ef) * neg - log1m
-    same_sign = same_sign + safe_log(
-        1.0 - cfg.pi * (external_force == ef).astype(jnp.float32), LOG_EPS_PROP)
+    same = 0.5 * (1 + sign) * pos + 0.5 * (1 - sign) * neg - lm
+    same = same + safe_log(
+        1.0 - cfg.pi * (force == sign).astype(jnp.float32), LOG_EPS_PROP)
     # opposite-polarity aggregation never contains the current edge, so no
     # self-subtraction (reference pdp_propagate.py:199-201)
-    opposite_sign = 0.5 * (1 - ef) * pos + 0.5 * (1 + ef) * neg
-    opposite_sign = opposite_sign + safe_log(
-        1.0 - cfg.pi * (external_force == -ef).astype(jnp.float32),
-        LOG_EPS_PROP)
+    opp = 0.5 * (1 - sign) * pos + 0.5 * (1 + sign) * neg
+    opp = opp + safe_log(
+        1.0 - cfg.pi * (force == -sign).astype(jnp.float32), LOG_EPS_PROP)
 
-    dont_care = same_sign + opposite_sign
-
-    s = safe_exp(same_sign)
-    o = safe_exp(opposite_sign)
-    d = safe_exp(dont_care)
+    s = safe_exp(same)
+    o = safe_exp(opp)
+    d = safe_exp(same + opp)
     q_u = s * (1.0 - o)
     q_s = o * (1.0 - s)
     total = q_u + q_s + d
-    triplet = jnp.concatenate([q_u, q_s, d], axis=1) / total
-
-    new_var = mask * triplet + (1.0 - mask) * var_state
-    return new_var, jnp.concatenate([new_fn_col0, external_force], axis=1)
+    nv = tuple(mask * q + (1.0 - mask) * v
+               for q, v in zip((q_u / total, q_s / total, d / total),
+                               (v0, v1, v2)))
+    return SPMessages(var=nv, fn=(new_eta, force))
 
 
 def survey_propagator_init_state(rng, num_edges, randomized):
-    """Reference pdp_propagate.py:223-237."""
+    """Reference pdp_propagate.py:223-237 (column layout)."""
     if randomized:
         r1, r2 = jax.random.split(rng)
         v = jax.random.uniform(r1, (num_edges, 3))
         v = v / jnp.sum(v, axis=1, keepdims=True)
-        f = jax.random.uniform(r2, (num_edges, 2))
-        f = f.at[:, 1].set(0.0)
+        f = jax.random.uniform(r2, (num_edges,))
+        var = (v[:, 0], v[:, 1], v[:, 2])
+        fn = (f, jnp.zeros((num_edges,), jnp.float32))
     else:
-        v = jnp.ones((num_edges, 3), jnp.float32) / 3.0
-        f = 0.5 * jnp.ones((num_edges, 2), jnp.float32)
-        f = f.at[:, 1].set(0.0)
-    return v, f
+        third = jnp.full((num_edges,), 1.0 / 3.0, jnp.float32)
+        var = (third, third, third)
+        fn = (0.5 * jnp.ones((num_edges,), jnp.float32),
+              jnp.zeros((num_edges,), jnp.float32))
+    return SPMessages(var=var, fn=fn)

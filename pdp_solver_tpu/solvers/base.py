@@ -71,6 +71,23 @@ class SolverState(NamedTuple):
     aux: Any    # sequential / reinforce decimator bookkeeping, or ()
 
 
+def _ws_pass_a(gathered, edge_vals):
+    """WalkSAT clause pass: signed distance + live degree per clause."""
+    sa_e, av_e = gathered
+    sign, mask = edge_vals
+    dist = sign * sa_e * mask
+    return (dist, av_e * mask), (dist,)
+
+
+def _ws_pass_b(gathered, edge_vals):
+    """WalkSAT variable pass: flip deltas on critical edges + unsat flags."""
+    agg_f, degree_f, unsat_f = gathered
+    dist, em, mask = edge_vals
+    agg_e = agg_f - dist
+    critical = jnp.where(agg_e == (1.0 - degree_f), 1.0, 0.0) * em
+    return (critical * dist, unsat_f * mask), ()
+
+
 class PDPSolver:
     """Config-driven assembly; all public methods are pure and jittable."""
 
@@ -444,17 +461,32 @@ class PDPSolver:
             assign, rng, it, done = carry
             return jnp.logical_and(it < iters, jnp.logical_not(done))
 
+        from pdp_solver_tpu.problem.simplify import _use_fused_kernel
+        use_kernel = _use_fused_kernel(batch)
+
         def body(carry):
             assign, rng, it, _ = carry
             rng, r_coin, r_rand = jax.random.split(rng, 3)
 
             # energy (solver.py:486-496) and flip-delta (solver.py:469-484)
             # share the same clause-direction columns; one reduce feeds both
-            dist = (batch.edge_sign
-                    * (assign * problem.active_vars)[batch.edge_var]
-                    * batch.edge_mask)
-            deg_e = problem.active_vars[batch.edge_var] * batch.edge_mask
-            cd = common.scatter_to_clauses_cols(batch, (dist, deg_e))
+            if use_kernel:
+                from pdp_solver_tpu.ops.pallas_fused import fused_edge_pass
+                cd, (dist,) = fused_edge_pass(
+                    _ws_pass_a,
+                    node_cols=(assign * problem.active_vars,
+                               problem.active_vars),
+                    gather_ids=batch.edge_var,
+                    edge_cols=(batch.edge_sign, batch.edge_mask),
+                    reduce_ids=batch.edge_clause,
+                    num_segments=batch.num_clauses, n_red=2, n_eout=1,
+                    interpret=jax.default_backend() != "tpu")
+            else:
+                dist = (batch.edge_sign
+                        * (assign * problem.active_vars)[batch.edge_var]
+                        * batch.edge_mask)
+                deg_e = problem.active_vars[batch.edge_var] * batch.edge_mask
+                cd = common.scatter_to_clauses_cols(batch, (dist, deg_e))
             agg_f = cd[0]
             degree_f = cd[1]
             unsat_f = ((agg_f == -degree_f).astype(jnp.float32)
@@ -472,12 +504,24 @@ class PDPSolver:
                 done = jnp.sum(unsat_b) <= 0.0
 
             # critical edges: the clause is decided solely by this literal
-            agg_e = agg_f[batch.edge_clause] - dist
-            degree_e = degree_f[batch.edge_clause]
-            critical = (agg_e == (1.0 - degree_e)).astype(jnp.float32) * em
-            unsat_e = unsat_f[batch.edge_clause] * batch.edge_mask
-            vd = common.scatter_to_vars_cols(
-                batch, (critical * dist, unsat_e))
+            if use_kernel:
+                from pdp_solver_tpu.ops.pallas_fused import fused_edge_pass
+                vd, _ = fused_edge_pass(
+                    _ws_pass_b,
+                    node_cols=(agg_f, degree_f, unsat_f),
+                    gather_ids=batch.edge_clause,
+                    edge_cols=(dist, em, batch.edge_mask),
+                    reduce_ids=batch.edge_var,
+                    num_segments=batch.num_vars, n_red=2,
+                    interpret=jax.default_backend() != "tpu")
+            else:
+                agg_e = agg_f[batch.edge_clause] - dist
+                degree_e = degree_f[batch.edge_clause]
+                critical = ((agg_e == (1.0 - degree_e)).astype(jnp.float32)
+                            * em)
+                unsat_e = unsat_f[batch.edge_clause] * batch.edge_mask
+                vd = common.scatter_to_vars_cols(
+                    batch, (critical * dist, unsat_e))
             delta = vd[0]
             best_ind = segment_argmax_first(-delta, batch.var_batch, B,
                                             valid=batch.var_mask,

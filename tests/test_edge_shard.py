@@ -33,8 +33,10 @@ def test_edge_sharded_sp_matches_single_device(rng):
     # shard_instance keeps the original (clause-major) edge order, and
     # pack_instances stable-sorts by clause, so orders agree
     E = batch.num_edges
-    state = (jnp.ones((E, 3)) / 3.0,
-             jnp.concatenate([0.5 * jnp.ones((E, 1)), jnp.zeros((E, 1))], 1))
+    from pdp_solver_tpu.modules.propagate import SPMessages
+    third = jnp.full((E,), 1.0 / 3.0)
+    state = SPMessages(var=(third, third, third),
+                       fn=(0.5 * jnp.ones((E,)), jnp.zeros((E,))))
     cfg = SurveyPropagatorConfig()
     ones = jnp.ones(E)
     for _ in range(6):

@@ -84,10 +84,12 @@ def test_survey_propagator_parity(tiny_batch):
             t_out = ref_prop(t_prop, t_dec, t_problem, False, None)
         j_out = survey_propagator_apply({}, cfg, batch, j_prop, j_dec,
                                         ones_e, ones_e)
-        np.testing.assert_allclose(np.asarray(j_out[0]),
+        np.testing.assert_allclose(np.stack([np.asarray(c)
+                                             for c in j_out.var], axis=1),
                                    t_out[0].numpy(), rtol=1e-5, atol=1e-6,
                                    err_msg=f"var msgs diverge at iter {it}")
-        np.testing.assert_allclose(np.asarray(j_out[1]),
+        np.testing.assert_allclose(np.stack([np.asarray(c)
+                                             for c in j_out.fn], axis=1),
                                    t_out[1].numpy(), rtol=1e-5, atol=1e-6,
                                    err_msg=f"fn msgs diverge at iter {it}")
         # classical loop: decimator passes messages through
