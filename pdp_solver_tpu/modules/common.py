@@ -72,6 +72,24 @@ def ell_sum(x_e, table):
 # VMEM budget guard for the windowed kernel's resident [C, N_pad] output
 _WINDOWED_MAX_ELEMS = 1_500_000
 
+# VMEM budget for the 2-D kernels' resident [N_pad, d_pad] block (~10 MB)
+_WINDOWED2D_MAX_ELEMS = 2_500_000
+
+
+def _use_windowed_2d(fast_flag, num_rows, d):
+    """2-D feature-block kernels (ops/pallas_reduce2d.py): the TPU path for
+    [E, d] hidden states with d >= 8 - the column API would need d slice
+    relayouts per reduce."""
+    mode = _backend()
+    if mode == "windowed":      # forced (tests drive interpret mode off-TPU)
+        return fast_flag and d >= 8
+    if mode not in ("auto", "pallas"):
+        return False
+    d_pad = -(-d // 128) * 128
+    n_pad = -(-num_rows // 1024) * 1024 + 2048
+    return (fast_flag and jax.default_backend() == "tpu" and d >= 8
+            and n_pad * d_pad <= _WINDOWED2D_MAX_ELEMS)
+
 
 def _use_windowed(fast_flag, num_segments, ncols):
     """Windowed one-hot MXU reduce: the TPU default wherever the pack-time
@@ -94,6 +112,12 @@ def _windowed(x_e, ids, num_segments):
 def scatter_to_vars(batch: FGBatch, x_e):
     """mm(variable_mask [VxE], x): sum each variable's edge rows."""
     ncols = 1 if x_e.ndim == 1 else x_e.shape[1]
+    if x_e.ndim == 2 and _use_windowed_2d(batch.fast_var, batch.num_vars,
+                                          ncols):
+        from pdp_solver_tpu.ops.pallas_reduce2d import windowed_segment_sum_2d
+        return windowed_segment_sum_2d(
+            x_e * col(batch.edge_mask), batch.edge_var, batch.num_vars,
+            jax.default_backend() != "tpu")
     if _use_windowed(batch.fast_var, batch.num_vars, ncols):
         m = batch.edge_mask if x_e.ndim == 1 else col(batch.edge_mask)
         return _windowed(x_e * m, batch.edge_var, batch.num_vars)
@@ -168,6 +192,11 @@ def scatter_to_clauses(batch: FGBatch, x_e):
 
 def gather_from_vars(batch: FGBatch, x_v):
     """mm(variable_mask_T [ExV], x): broadcast variable rows to edges."""
+    if x_v.ndim == 2 and _use_windowed_2d(batch.fast_var, batch.num_vars,
+                                          x_v.shape[1]):
+        from pdp_solver_tpu.ops.pallas_reduce2d import windowed_gather_2d
+        return windowed_gather_2d(x_v, batch.edge_var, batch.num_edges,
+                                  jax.default_backend() != "tpu")
     return x_v[batch.edge_var]
 
 

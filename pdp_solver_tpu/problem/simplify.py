@@ -200,12 +200,17 @@ def set_variables(batch: FGBatch, state: ProblemState,
 
 
 def _phase_c_f(gathered, edge_vals):
-    """Edge elementwise of the fused round's clause-direction pass."""
+    """Edge elementwise of the fused round's clause-direction pass.
+
+    All compares branch to f32 operands - Mosaic cannot select between i1
+    vectors ("unsupported target bitwidth for truncation")."""
     av_e, sol_e = gathered
     sign, mask = edge_vals
-    lit_true = jnp.where(sign > 0, sol_e >= 1.0, sol_e <= 0.0)
-    assigned_true = jnp.where(lit_true & (av_e <= 0), 1.0, 0.0)
-    return (av_e * mask, assigned_true * mask), ()
+    pos_true = jnp.where(sol_e >= 1.0, 1.0, 0.0)
+    neg_true = jnp.where(sol_e <= 0.0, 1.0, 0.0)
+    lit_true = jnp.where(sign > 0, pos_true, neg_true)
+    assigned = jnp.where(av_e <= 0, 1.0, 0.0)
+    return (av_e * mask, lit_true * assigned * mask), ()
 
 
 def _phase_v_f(gathered, edge_vals):

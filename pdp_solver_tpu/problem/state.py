@@ -37,8 +37,51 @@ def init_problem_state(batch: FGBatch) -> ProblemState:
     )
 
 
+def _em_pass(gathered, edge_vals):
+    av_e, ac_e = gathered
+    (mask,) = edge_vals
+    return (), (av_e * ac_e * mask,)
+
+
+def _ae_pass(gathered, edge_vals):
+    (abv_e,) = gathered
+    return (), (abv_e,)
+
+
+def _em_ae_pass(gathered, edge_vals):
+    av_e, abv_e, ac_e = gathered
+    (mask,) = edge_vals
+    return (), (av_e * ac_e * mask, abv_e)
+
+
+def _use_fused(batch: FGBatch) -> bool:
+    import os
+    import jax
+    mode = os.environ.get("PDP_FUSED_PASS", "auto")
+    if mode == "off":
+        return False
+    if mode == "on":
+        return True
+    return (batch.fast_var and batch.fast_clause
+            and jax.default_backend() == "tpu")
+
+
 def compute_edge_mask(batch: FGBatch, state: ProblemState) -> jnp.ndarray:
-    """Per-edge liveness: both endpoints active (reference solver.py:370-371)."""
+    """Per-edge liveness: both endpoints active (reference solver.py:370-371).
+
+    Two unsorted node->edge gathers cost ~12ms at E=524k on chip; the fused
+    dual-gather kernel does both windowed from VMEM in one dispatch."""
+    if _use_fused(batch):
+        import jax
+        from pdp_solver_tpu.ops.pallas_fused import fused_edge_pass
+        _, (em,) = fused_edge_pass(
+            _em_pass,
+            node_cols=(state.active_vars,), gather_ids=batch.edge_var,
+            node_cols2=(state.active_clauses,),
+            gather_ids2=batch.edge_clause,
+            edge_cols=(batch.edge_mask,), n_eout=1,
+            interpret=jax.default_backend() != "tpu")
+        return em
     return (state.active_vars[batch.edge_var]
             * state.active_clauses[batch.edge_clause]
             * batch.edge_mask)
@@ -51,4 +94,34 @@ def edge_active_instance_mask(batch: FGBatch, active_instances) -> jnp.ndarray:
     (pdp_propagate.py:52-54): edge e is frozen once the instance that owns its
     variable has terminated.
     """
+    if _use_fused(batch):
+        import jax
+        from pdp_solver_tpu.ops.pallas_fused import fused_edge_pass
+        _, (ae,) = fused_edge_pass(
+            _ae_pass,
+            node_cols=(active_instances[batch.var_batch],),
+            gather_ids=batch.edge_var, n_eout=1,
+            interpret=jax.default_backend() != "tpu")
+        return ae
     return active_instances[batch.var_batch[batch.edge_var]]
+
+
+def edge_masks_pair(batch: FGBatch, state: ProblemState, active_instances):
+    """(edge liveness mask, per-edge instance-active flag) - the solver's
+    per-iteration edge masks, in ONE dual-gather kernel dispatch on the
+    fast path (three node->edge gathers cost ~15ms at E=524k as XLA ops)."""
+    if _use_fused(batch):
+        import jax
+        from pdp_solver_tpu.ops.pallas_fused import fused_edge_pass
+        _, (em, ae) = fused_edge_pass(
+            _em_ae_pass,
+            node_cols=(state.active_vars,
+                       active_instances[batch.var_batch]),
+            gather_ids=batch.edge_var,
+            node_cols2=(state.active_clauses,),
+            gather_ids2=batch.edge_clause,
+            edge_cols=(batch.edge_mask,), n_eout=2,
+            interpret=jax.default_backend() != "tpu")
+        return em, ae
+    return (compute_edge_mask(batch, state),
+            edge_active_instance_mask(batch, active_instances))

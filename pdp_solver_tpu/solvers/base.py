@@ -36,7 +36,8 @@ from pdp_solver_tpu.ops import segment_sum
 from pdp_solver_tpu.ops.segment import segment_argmax_first
 from pdp_solver_tpu.problem.simplify import fused_simplify as simplify_problem
 from pdp_solver_tpu.problem.state import (
-    ProblemState, compute_edge_mask, init_problem_state)
+    ProblemState, compute_edge_mask, edge_active_instance_mask,
+    edge_masks_pair, init_problem_state)
 from pdp_solver_tpu.train.loss import cnf_evaluate
 
 
@@ -364,9 +365,8 @@ class PDPSolver:
             em0 = jnp.ones_like(batch.edge_mask) * batch.edge_mask
 
         def iteration(carry, it):
-            problem, state, active_b, em, rng = carry
+            problem, state, active_b, em, ae, rng = carry
             rng, r_p, r_d, r_pr = jax.random.split(rng, 4)
-            ae = active_b[batch.var_batch[batch.edge_var]]
 
             prop = self._propagate(params, r_p, batch, state.prop, state.dec,
                                    em, ae, is_training, meta_e)
@@ -398,9 +398,11 @@ class PDPSolver:
                 if check_termination:
                     active_b = maybe_active
 
-            em = compute_edge_mask(batch, problem)
-
             if check_termination:
+                # the predictors that read em (np-nd-np / p-nd-np) pair with
+                # the neural decimator, which never mutates the problem, so
+                # the carried (pre-decimation) em is identical for them;
+                # identity/reinforce predictors ignore em entirely
                 pred = self._predict(params, r_pr, batch, problem, dec, em,
                                      last_call=False, meta_e=meta_e)
                 var_pred, problem = _update_solution(problem, pred[0])
@@ -408,9 +410,14 @@ class PDPSolver:
                 solved = _group_any(solved, replication)
                 active_b = active_b * (solved <= 0.5).astype(jnp.float32)
 
-            return (problem, SolverState(prop, dec, aux), active_b, em, rng)
+            # next iteration's masks, fused into one dual-gather dispatch
+            em, ae = edge_masks_pair(batch, problem, active_b)
 
-        carry = (problem, state, active0, em0, rng)
+            return (problem, SolverState(prop, dec, aux), active_b, em, ae,
+                    rng)
+
+        ae0 = edge_active_instance_mask(batch, active0)
+        carry = (problem, state, active0, em0, ae0, rng)
         if is_training:
             # differentiable unrolled loop (train_inner_recurrence_num is 1
             # in every reference config)
@@ -418,7 +425,7 @@ class PDPSolver:
                 carry = iteration(carry, it)
         else:
             def cond(c_it):
-                (problem, state, active_b, em, rng), it = c_it
+                (problem, state, active_b, em, ae, rng), it = c_it
                 alive = jnp.sum(active_b) > 0 if check_termination else True
                 return jnp.logical_and(it < iteration_num, alive)
 
@@ -429,7 +436,7 @@ class PDPSolver:
             it0 = jnp.sum(batch.instance_mask).astype(jnp.int32) * 0
             carry, _ = jax.lax.while_loop(cond, body, (carry, it0))
 
-        problem, state, active_b, em, rng = carry
+        problem, state, active_b, em, ae, rng = carry
         return problem, state, active_b, rng
 
     # -- WalkSAT local search -------------------------------------------

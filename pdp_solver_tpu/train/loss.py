@@ -55,16 +55,37 @@ def energy_loss(batch: FGBatch, variable_prediction, global_step,
     return jnp.sum(log_v) / jnp.maximum(jnp.sum(batch.clause_mask), 1.0)
 
 
+def _cnf_eval_pass(gathered, edge_vals):
+    """Thresholded literal satisfaction, reduced per clause."""
+    (p_e,) = gathered
+    sign, mask = edge_vals
+    lit = sign * p_e + (1.0 - sign) / 2.0
+    return (jnp.where(lit > 0.5, 1.0, 0.0) * mask,), ()
+
+
 def cnf_evaluate(batch: FGBatch, variable_prediction):
     """Hard verification (util.py:203-236): threshold the prediction, count
     satisfied clauses per instance. Returns (solved f32[B], unsat_count f32[B]).
     Padding instances report solved=1/unsat=0; gate with batch.instance_mask."""
     F, B = batch.num_clauses, batch.batch_size
 
-    ev = (literal_values(batch, variable_prediction) > 0.5).astype(jnp.float32)
-    ev = ev * batch.edge_mask
-    clause_sat = (common.scatter_to_clauses(batch, ev)
-                  > 0).astype(jnp.float32)
+    from pdp_solver_tpu.problem.state import _use_fused
+    if _use_fused(batch):
+        import jax
+        from pdp_solver_tpu.ops.pallas_fused import fused_edge_pass
+        cs, _ = fused_edge_pass(
+            _cnf_eval_pass, node_cols=(variable_prediction[:, 0],),
+            gather_ids=batch.edge_var,
+            edge_cols=(batch.edge_sign, batch.edge_mask),
+            reduce_ids=batch.edge_clause, num_segments=F, n_red=1,
+            interpret=jax.default_backend() != "tpu")
+        clause_sat = (cs[0] > 0).astype(jnp.float32)
+    else:
+        ev = (literal_values(batch, variable_prediction)
+              > 0.5).astype(jnp.float32)
+        ev = ev * batch.edge_mask
+        clause_sat = (common.scatter_to_clauses(batch, ev)
+                      > 0).astype(jnp.float32)
     clause_sat = clause_sat * batch.clause_mask
 
     counts = segment_sum(

@@ -144,3 +144,32 @@ def test_pdp_with_termination_fused_matches_fallback(monkeypatch):
     got = solve()
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_edge_mask_and_cnf_eval_fused_match(monkeypatch, batch):
+    from pdp_solver_tpu.problem.state import (
+        init_problem_state, compute_edge_mask, edge_active_instance_mask)
+    from pdp_solver_tpu.train.loss import cnf_evaluate
+
+    problem = init_problem_state(batch)
+    problem = problem._replace(
+        active_vars=problem.active_vars
+        * (np.arange(batch.num_vars) % 3 != 0),
+        active_clauses=problem.active_clauses
+        * (np.arange(batch.num_clauses) % 4 != 0))
+    active_b = jnp.asarray(
+        (np.arange(batch.batch_size) % 2 == 0).astype(np.float32))
+    pred = jax.random.uniform(jax.random.PRNGKey(8),
+                              (batch.num_vars, 1))
+
+    monkeypatch.setenv("PDP_FUSED_PASS", "off")
+    ref = (compute_edge_mask(batch, problem),
+           edge_active_instance_mask(batch, active_b),
+           cnf_evaluate(batch, pred))
+    monkeypatch.setenv("PDP_FUSED_PASS", "on")
+    got = (compute_edge_mask(batch, problem),
+           edge_active_instance_mask(batch, active_b),
+           cnf_evaluate(batch, pred))
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
