@@ -123,6 +123,7 @@ def survey_scorer_apply(params, cfg: SurveyScorerConfig, batch: FGBatch,
         agg, _ = fused_edge_pass(
             _scorer_pass, node_cols=(problem.active_clauses,),
             gather_ids=batch.edge_clause,
+            gather_uniform=batch.clause_width,
             edge_cols=(eta1, force1, batch.edge_sign, batch.edge_mask),
             reduce_ids=batch.edge_var, num_segments=batch.num_vars,
             n_red=4, interpret=jax.default_backend() != "tpu")

@@ -243,10 +243,14 @@ def survey_propagator_apply(params, cfg: SurveyPropagatorConfig,
         interp = jax.default_backend() != "tpu"
         cl, (log_u,) = fused_edge_pass(
             pass_a, edge_cols=(u_like, em),
-            reduce_ids=batch.edge_clause, num_segments=batch.num_clauses,
+            reduce_ids=batch.edge_clause,
+            reduce_uniform=batch.clause_width,
+            num_segments=batch.num_clauses,
             n_red=1, n_eout=1, interpret=interp)
         pn, (new_eta,) = fused_edge_pass(
-            _sp_pass_b, node_cols=(cl[0],), gather_ids=batch.edge_clause,
+            _sp_pass_b, node_cols=(cl[0],),
+            gather_ids=batch.edge_clause,
+            gather_uniform=batch.clause_width,
             edge_cols=(log_u, eta_in, em, mask, eta_state, sign),
             reduce_ids=batch.edge_var, num_segments=batch.num_vars,
             n_red=2, n_eout=1, interpret=interp)

@@ -1,29 +1,35 @@
 """Fused edge pass: gather -> edge elementwise -> reduce in ONE kernel.
 
 The building block behind the solver's hot loops. On the target chip every
-separate XLA op over an [E]-sized array costs ~1-8 ms at E=524k (scatters
-worst, unsorted gathers next, even reshape reduces are not free), so a
-graph sweep expressed as ~8 XLA ops pays ~8 HBM round-trips. This kernel
-runs the entire pattern
+separate XLA op over an [E]-sized array costs ~1-8 ms at E=524k (node->edge
+gathers worst: ~4 ms unsorted, ~8 ms sorted), so a graph sweep expressed as
+~8 XLA ops pays ~8 HBM round-trips. This kernel runs the entire pattern
 
-    g_c[e]   = node_cols[c][ids_g[e]]          (windowed one-hot gather)
+    g_c[e]   = node_cols[c][ids_g[e]]          (gather)
     outs     = f(gathered, edge_cols, sign...) (arbitrary elementwise)
-    red[c,n] = sum over e with ids_r[e] == n   (windowed one-hot reduce)
+    red[c,n] = sum over e with ids_r[e] == n   (reduce)
     edge_out = per-edge results
 
-in a single pass over edge tiles with everything resident in VMEM: node
-inputs and reduce accumulators are small ([V]~16k, [F]~131k at bench
-shapes), edge arrays stream through tile by tile, and the gather/reduce
-one-hot matrices hit the MXU. One kernel dispatch replaces the whole
-gather + k-elementwise + reduce chain.
+in a single pass over edge tiles with everything resident in VMEM.
 
-Windowed invariant (checked at pack time, FGBatch.fast_var/fast_clause):
-every TILE-slab of ids spans < WINDOW - ALIGN distinct ids, so a tile's
-gather/reduce window is one aligned dynamic slice of the resident array.
+Two mechanisms per side, chosen by the caller:
 
-Used by problem/simplify.py (fused round phases C and V), the SP sweep
-(modules/propagate.py), and WalkSAT (solvers/base.py). Inference-path
-only - no custom VJP; training paths keep the differentiable reduce ops.
+* windowed (any ids satisfying the pack-time invariant - every TILE-slab
+  spans < WINDOW - ALIGN ids, FGBatch.fast_var/fast_clause): a [SUB,
+  WINDOW] one-hot of the ids against an aligned window of the resident
+  node array, contracted on the MXU. Exact, but the one-hot build itself
+  is the dominant VPU cost (~1M lane-ops per sub-tile).
+
+* uniform (clause-major uniform-k sides, FGBatch.clause_width > 0, where
+  ids[e] = e // k for real edges): no ids at all - node rows are blocked
+  [1, TILE/k] per grid step with fully static indexing, and the
+  gather/reduce contracts a CONSTANT [SUB, SUB/k] one-hot (16x fewer
+  lane-ops than windowed). Padding edges read garbage rows, so every
+  f MUST mask its reduce columns and treat padding edge outputs as
+  meaningless (all callers do - padding edges are masked everywhere).
+
+Inference-path only - no custom VJP; training paths keep the
+differentiable reduce ops (ops/pallas_reduce*.py carry VJPs).
 
 Reference equivalence: each pass computes mask-matrix products of
 src/pdp/nn/solver.py:151-178 fused with their surrounding elementwise ops.
@@ -37,17 +43,24 @@ from jax.experimental import pallas as pl
 
 ALIGN = 1024
 WINDOW = 2048
-TILE = 1024     # block size: 1-D blocks must be multiples of 1024 (Mosaic)
-SUB = 512       # inner sub-tile: keeps each [SUB, WINDOW] one-hot at 4 MB
-                # so a dual-gather + reduce pass peaks well under VMEM
+
+# (TILE, SUB) per uniform clause width k. TILE must be a multiple of 1024
+# (1-D i32 block constraint) with TILE/k a multiple of 128 (2-D minor-dim
+# blocks for the uniform side); SUB bounds each windowed one-hot at ~4-7MB.
+_TILES = {0: (1024, 512), 2: (1024, 512), 4: (1024, 512), 8: (1024, 512),
+          3: (3072, 384), 5: (5120, 640), 6: (3072, 768), 7: (7168, 896)}
 
 
-def _gather_sub(sub_ids, node_refs):
+def _pick_tiles(k):
+    return _TILES.get(k)
+
+
+def _gather_windowed(sub_ids, node_refs, sub):
     """One-hot windowed gather of each node ref at SUB edge ids."""
     base = (jnp.min(sub_ids) // ALIGN) * ALIGN
     base = pl.multiple_of(base, ALIGN)
     rel = sub_ids - base
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, WINDOW), 1)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (sub, WINDOW), 1)
     onehot = (rel[:, None] == col_iota).astype(jnp.float32)
     win = jnp.stack([r[pl.ds(base, WINDOW)] for r in node_refs], axis=0)
     # [C, W] x [W, S] on the MXU; HIGHEST keeps f32 exact (the default
@@ -59,115 +72,184 @@ def _gather_sub(sub_ids, node_refs):
     return tuple(g[c] for c in range(len(node_refs)))
 
 
-def _build(f, n_node, n_node2, n_edge, n_red, n_eout, has_reduce):
+def _uniform_onehot(sub, k):
+    """Constant [SUB, SUB/k] one-hot: edge t belongs to local clause t//k."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (sub, sub // k), 0) // k
+    cols = jax.lax.broadcasted_iota(jnp.int32, (sub, sub // k), 1)
+    return (rows == cols).astype(jnp.float32)
+
+
+def _gather_uniform(node_refs, lo, sub, k):
+    """Broadcast node rows [lo/k, (lo+SUB)/k) to their k edges each.
+
+    node refs are [1, TILE/k] blocks (static indexing, no ids)."""
+    sl = slice(lo // k, (lo + sub) // k)
+    win = jnp.stack([r[0, sl] for r in node_refs], axis=0)   # [C, S/k]
+    onehot = _uniform_onehot(sub, k)                         # [S, S/k]
+    g = jax.lax.dot_general(
+        win, onehot, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    return tuple(g[c] for c in range(len(node_refs)))
+
+
+def _build(f, n_node, n_node2, n_edge, n_red, n_eout,
+           gk, g2k, rk, tile, sub):
+    """gk/g2k/rk: uniform clause width per side (0 = windowed ids)."""
+
     def kernel(*refs):
         it = iter(refs)
-        ids_g_ref = next(it) if n_node else None
-        ids_g2_ref = next(it) if n_node2 else None
-        ids_r_ref = next(it) if has_reduce else None
+        ids_g_ref = next(it) if (n_node and not gk) else None
+        ids_g2_ref = next(it) if (n_node2 and not g2k) else None
+        ids_r_ref = next(it) if (n_red and not rk) else None
         node_refs = [next(it) for _ in range(n_node)]
         node2_refs = [next(it) for _ in range(n_node2)]
         edge_refs = [next(it) for _ in range(n_edge)]
-        red_ref = next(it) if has_reduce else None
+        red_ref = next(it) if n_red else None
         eout_refs = [next(it) for _ in range(n_eout)]
 
         step = pl.program_id(0)
 
-        if has_reduce:
+        if n_red and not rk:
             @pl.when(step == 0)
             def _():
                 red_ref[:] = jnp.zeros_like(red_ref)
 
-        for s in range(TILE // SUB):
-            lo = s * SUB
+        for s in range(tile // sub):
+            lo = s * sub
             gathered = ()
             if n_node:
-                gathered += _gather_sub(ids_g_ref[lo:lo + SUB], node_refs)
+                gathered += (_gather_uniform(node_refs, lo, sub, gk) if gk
+                             else _gather_windowed(ids_g_ref[lo:lo + sub],
+                                                   node_refs, sub))
             if n_node2:
-                gathered += _gather_sub(ids_g2_ref[lo:lo + SUB], node2_refs)
+                gathered += (_gather_uniform(node2_refs, lo, sub, g2k)
+                             if g2k
+                             else _gather_windowed(ids_g2_ref[lo:lo + sub],
+                                                   node2_refs, sub))
 
-            edge_vals = tuple(r[lo:lo + SUB] for r in edge_refs)
+            edge_vals = tuple(r[lo:lo + sub] for r in edge_refs)
             red_cols, eouts = f(gathered, edge_vals)
 
-            if has_reduce:
-                ids_r = ids_r_ref[lo:lo + SUB]
-                base_r = (jnp.min(ids_r) // ALIGN) * ALIGN
-                base_r = pl.multiple_of(base_r, ALIGN)
-                rel_r = ids_r - base_r
-                col_iota = jax.lax.broadcasted_iota(
-                    jnp.int32, (SUB, WINDOW), 1)
-                onehot_r = (rel_r[:, None] == col_iota).astype(jnp.float32)
-                x = jnp.stack(red_cols, axis=0)          # [Cr, S]
-                sums = jnp.dot(x, onehot_r,
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
-                window = red_ref[:, pl.ds(base_r, WINDOW)]
-                red_ref[:, pl.ds(base_r, WINDOW)] = window + sums
+            if n_red:
+                x = jnp.stack(red_cols, axis=0)              # [Cr, S]
+                if rk:
+                    # each clause's k edges live inside this sub-tile:
+                    # write the complete [Cr, S/k] block, no accumulation
+                    sums = jnp.dot(x, _uniform_onehot(sub, rk),
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+                    red_ref[:, lo // rk:(lo + sub) // rk] = sums
+                else:
+                    ids_r = ids_r_ref[lo:lo + sub]
+                    base_r = (jnp.min(ids_r) // ALIGN) * ALIGN
+                    base_r = pl.multiple_of(base_r, ALIGN)
+                    rel_r = ids_r - base_r
+                    col_iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (sub, WINDOW), 1)
+                    onehot_r = (rel_r[:, None] == col_iota) \
+                        .astype(jnp.float32)
+                    sums = jnp.dot(x, onehot_r,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+                    window = red_ref[:, pl.ds(base_r, WINDOW)]
+                    red_ref[:, pl.ds(base_r, WINDOW)] = window + sums
 
             for r, v in zip(eout_refs, eouts):
-                r[lo:lo + SUB] = v
+                r[lo:lo + sub] = v
 
     return kernel
 
 
 @functools.lru_cache(maxsize=None)
 def _make_call(f, E_pad, n_node, node_shapes, n_node2, node2_shapes,
-               n_edge, n_red, num_segments, n_eout, interpret):
-    has_reduce = n_red > 0
-    grid = E_pad // TILE
-    N_pad = (-(-num_segments // ALIGN) * ALIGN + WINDOW) if has_reduce else 0
+               n_edge, n_red, num_segments, n_eout,
+               gk, g2k, rk, tile, sub, interpret):
+    grid = E_pad // tile
+    edge_spec = pl.BlockSpec((tile,), lambda i: (i,))
+
+    def node_specs(shapes, uk):
+        if uk:
+            # [1, E_pad/k] rows blocked [1, tile/k] per grid step
+            return [pl.BlockSpec((1, tile // uk), lambda i: (0, i))
+                    for _ in shapes]
+        return [pl.BlockSpec((s,), lambda i: (0,)) for s in shapes]
 
     in_specs = []
-    if n_node:
-        in_specs.append(pl.BlockSpec((TILE,), lambda i: (i,)))
-    if n_node2:
-        in_specs.append(pl.BlockSpec((TILE,), lambda i: (i,)))
-    if has_reduce:
-        in_specs.append(pl.BlockSpec((TILE,), lambda i: (i,)))
-    for s in node_shapes + node2_shapes:
-        in_specs.append(pl.BlockSpec((s,), lambda i: (0,)))
-    in_specs += [pl.BlockSpec((TILE,), lambda i: (i,))] * n_edge
+    if n_node and not gk:
+        in_specs.append(edge_spec)
+    if n_node2 and not g2k:
+        in_specs.append(edge_spec)
+    if n_red and not rk:
+        in_specs.append(edge_spec)
+    in_specs += node_specs(node_shapes, gk)
+    in_specs += node_specs(node2_shapes, g2k)
+    in_specs += [edge_spec] * n_edge
 
     out_specs, out_shape = [], []
-    if has_reduce:
-        out_specs.append(pl.BlockSpec((n_red, N_pad), lambda i: (0, 0)))
-        out_shape.append(jax.ShapeDtypeStruct((n_red, N_pad), jnp.float32))
-    out_specs += [pl.BlockSpec((TILE,), lambda i: (i,))] * n_eout
+    if n_red:
+        if rk:
+            rows = E_pad // rk
+            out_specs.append(
+                pl.BlockSpec((n_red, tile // rk), lambda i: (0, i)))
+            out_shape.append(
+                jax.ShapeDtypeStruct((n_red, rows), jnp.float32))
+        else:
+            N_pad = -(-num_segments // ALIGN) * ALIGN + WINDOW
+            out_specs.append(pl.BlockSpec((n_red, N_pad),
+                                          lambda i: (0, 0)))
+            out_shape.append(
+                jax.ShapeDtypeStruct((n_red, N_pad), jnp.float32))
+    out_specs += [edge_spec] * n_eout
     out_shape += [jax.ShapeDtypeStruct((E_pad,), jnp.float32)] * n_eout
 
-    kernel = _build(f, n_node, n_node2, n_edge, n_red, n_eout, has_reduce)
-    call = pl.pallas_call(kernel, grid=(grid,), in_specs=in_specs,
+    kernel = _build(f, n_node, n_node2, n_edge, n_red, n_eout,
+                    gk, g2k, rk, tile, sub)
+    return pl.pallas_call(kernel, grid=(grid,), in_specs=in_specs,
                           out_specs=out_specs, out_shape=out_shape,
                           interpret=interpret)
-    return call
 
 
-def fused_edge_pass(f, *, node_cols=(), gather_ids=None,
-                    node_cols2=(), gather_ids2=None, edge_cols=(),
-                    reduce_ids=None, num_segments=0, n_red=0, n_eout=0,
-                    interpret=False):
+def fused_edge_pass(f, *, node_cols=(), gather_ids=None, gather_uniform=0,
+                    node_cols2=(), gather_ids2=None, gather2_uniform=0,
+                    edge_cols=(), reduce_ids=None, reduce_uniform=0,
+                    num_segments=0, n_red=0, n_eout=0, interpret=False):
     """Run one fused gather->elementwise->reduce pass over the edge list.
 
     f(gathered, edge_vals) -> (red_cols, edge_outs): a traceable elementwise
-    function over [TILE] vectors; `gathered` has one entry per node_cols
+    function over [SUB] vectors; `gathered` has one entry per node_cols
     followed by one per node_cols2, `red_cols` must have n_red entries,
     `edge_outs` n_eout. f must be a module-level function (it keys the
-    compile cache).
+    compile cache) and MUST mask its reduce columns by the edge mask.
 
-    node_cols: tuple of f32[N] arrays gathered via gather_ids (i32[E]);
-    node_cols2/gather_ids2: optional second gather side (e.g. variable-side
-    AND clause-side node arrays in one pass).
+    node_cols / node_cols2: tuples of f32[N] arrays gathered via
+    gather_ids / gather_ids2 (i32[E], windowed invariant).
+    *_uniform: set to the batch's clause_width when that side's ids are
+    clause-major uniform (ids[e] == e // k for real edges) - the kernel
+    then uses static blocking + a constant one-hot instead of the windowed
+    machinery. Ignored (windowed fallback) for unsupported k.
     edge_cols: tuple of f32[E] per-edge inputs, streamed in tiles.
-    reduce_ids/num_segments: reduce target (windowed invariant required).
+    reduce_ids/num_segments: reduce target.
 
     Returns (reduced [n_red, num_segments] or None, tuple of n_eout f32[E]).
     """
-    arrays = list(edge_cols)
-    for ids in (gather_ids, gather_ids2, reduce_ids):
-        if ids is not None:
-            arrays.append(ids)
-    E = arrays[0].shape[0]
-    E_pad = -(-E // TILE) * TILE
+    E = (list(edge_cols) + [i for i in (gather_ids, gather_ids2, reduce_ids)
+                            if i is not None])[0].shape[0]
+
+    uks = {k for k in (gather_uniform and len(node_cols) and gather_uniform,
+                       gather2_uniform and len(node_cols2)
+                       and gather2_uniform,
+                       reduce_uniform and n_red and reduce_uniform) if k}
+    uk = uks.pop() if len(uks) == 1 else (0 if not uks else None)
+    if uk is None or _pick_tiles(uk) is None:
+        # mixed ks can't share one tiling; fall back to windowed everywhere
+        uk = 0
+    tile, sub = _pick_tiles(uk)
+    gk = uk if (gather_uniform and node_cols) else 0
+    g2k = uk if (gather2_uniform and node_cols2) else 0
+    rk = uk if (reduce_uniform and n_red) else 0
+
+    E_pad = -(-E // tile) * tile
 
     def pad_e(x, fill):
         if E_pad == E:
@@ -175,43 +257,62 @@ def fused_edge_pass(f, *, node_cols=(), gather_ids=None,
         return jnp.concatenate(
             [x, jnp.full((E_pad - E,), fill, x.dtype)])
 
-    def pad_nodes(cols):
+    def prep_nodes(cols, uk_side):
         shapes, padded = [], []
         for c in cols:
             c = c.astype(jnp.float32)
             n = c.shape[0]
-            n_pad = -(-n // ALIGN) * ALIGN + WINDOW
-            if n_pad != n:
-                c = jnp.concatenate([c, jnp.zeros((n_pad - n,), jnp.float32)])
-            shapes.append(n_pad)
+            if uk_side:
+                rows = E_pad // uk_side
+                if n >= rows:
+                    c = c[:rows]
+                else:
+                    c = jnp.concatenate(
+                        [c, jnp.zeros((rows - n,), jnp.float32)])
+                c = c[None, :]                  # [1, rows] 2-D blocked
+                shapes.append(rows)
+            else:
+                n_pad = -(-n // ALIGN) * ALIGN + WINDOW
+                if n_pad != n:
+                    c = jnp.concatenate(
+                        [c, jnp.zeros((n_pad - n,), jnp.float32)])
+                shapes.append(n_pad)
             padded.append(c)
         return tuple(shapes), padded
 
-    node_shapes, padded_nodes = pad_nodes(node_cols)
-    node2_shapes, padded_nodes2 = pad_nodes(node_cols2)
+    node_shapes, padded_nodes = prep_nodes(node_cols, gk)
+    node2_shapes, padded_nodes2 = prep_nodes(node_cols2, g2k)
 
     args = []
-    if gather_ids is not None:
+    if node_cols and not gk:
         args.append(pad_e(gather_ids.astype(jnp.int32), 0))
-    if gather_ids2 is not None:
+    if node_cols2 and not g2k:
         args.append(pad_e(gather_ids2.astype(jnp.int32), 0))
-    if reduce_ids is not None:
-        args.append(pad_e(reduce_ids.astype(jnp.int32),
-                          reduce_ids[-1]))
+    if n_red and not rk:
+        args.append(pad_e(reduce_ids.astype(jnp.int32), reduce_ids[-1]))
     args += padded_nodes + padded_nodes2
     args += [pad_e(c.astype(jnp.float32), 0) for c in edge_cols]
 
     call = _make_call(f, E_pad, len(node_cols), node_shapes,
                       len(node_cols2), node2_shapes,
                       len(edge_cols), n_red, int(num_segments), n_eout,
-                      bool(interpret))
+                      gk, g2k, rk, tile, sub, bool(interpret))
     outs = call(*args)
     if not isinstance(outs, (tuple, list)):
         outs = (outs,)
     idx = 0
     reduced = None
     if n_red > 0:
-        reduced = outs[0][:, :num_segments]
+        reduced = outs[0]
+        if rk:
+            rows = reduced.shape[1]
+            if rows >= num_segments:
+                reduced = reduced[:, :num_segments]
+            else:
+                reduced = jnp.pad(reduced,
+                                  ((0, 0), (0, num_segments - rows)))
+        else:
+            reduced = reduced[:, :num_segments]
         idx = 1
     eouts = tuple(o[:E] for o in outs[idx:])
     return reduced, eouts

@@ -247,6 +247,7 @@ def _fused_round(batch: FGBatch, state: ProblemState):
             gather_ids=batch.edge_var,
             edge_cols=(batch.edge_sign, batch.edge_mask),
             reduce_ids=batch.edge_clause,
+            reduce_uniform=batch.clause_width,
             num_segments=batch.num_clauses, n_red=2,
             interpret=jax.default_backend() != "tpu")
     else:
@@ -271,6 +272,7 @@ def _fused_round(batch: FGBatch, state: ProblemState):
             _phase_v_f,
             node_cols=(single_f, active_clauses),
             gather_ids=batch.edge_clause,
+            gather_uniform=batch.clause_width,
             edge_cols=(batch.edge_sign, batch.edge_mask),
             reduce_ids=batch.edge_var,
             num_segments=batch.num_vars, n_red=4,

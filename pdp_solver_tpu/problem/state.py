@@ -79,6 +79,7 @@ def compute_edge_mask(batch: FGBatch, state: ProblemState) -> jnp.ndarray:
             node_cols=(state.active_vars,), gather_ids=batch.edge_var,
             node_cols2=(state.active_clauses,),
             gather_ids2=batch.edge_clause,
+            gather2_uniform=batch.clause_width,
             edge_cols=(batch.edge_mask,), n_eout=1,
             interpret=jax.default_backend() != "tpu")
         return em
@@ -120,6 +121,7 @@ def edge_masks_pair(batch: FGBatch, state: ProblemState, active_instances):
             gather_ids=batch.edge_var,
             node_cols2=(state.active_clauses,),
             gather_ids2=batch.edge_clause,
+            gather2_uniform=batch.clause_width,
             edge_cols=(batch.edge_mask,), n_eout=2,
             interpret=jax.default_backend() != "tpu")
         return em, ae

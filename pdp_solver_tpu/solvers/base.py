@@ -486,6 +486,7 @@ class PDPSolver:
                     gather_ids=batch.edge_var,
                     edge_cols=(batch.edge_sign, batch.edge_mask),
                     reduce_ids=batch.edge_clause,
+                    reduce_uniform=batch.clause_width,
                     num_segments=batch.num_clauses, n_red=2, n_eout=1,
                     interpret=jax.default_backend() != "tpu")
             else:
@@ -517,6 +518,7 @@ class PDPSolver:
                     _ws_pass_b,
                     node_cols=(agg_f, degree_f, unsat_f),
                     gather_ids=batch.edge_clause,
+                    gather_uniform=batch.clause_width,
                     edge_cols=(dist, em, batch.edge_mask),
                     reduce_ids=batch.edge_var,
                     num_segments=batch.num_vars, n_red=2,

@@ -77,7 +77,8 @@ def cnf_evaluate(batch: FGBatch, variable_prediction):
             _cnf_eval_pass, node_cols=(variable_prediction[:, 0],),
             gather_ids=batch.edge_var,
             edge_cols=(batch.edge_sign, batch.edge_mask),
-            reduce_ids=batch.edge_clause, num_segments=F, n_red=1,
+            reduce_ids=batch.edge_clause,
+            reduce_uniform=batch.clause_width, num_segments=F, n_red=1,
             interpret=jax.default_backend() != "tpu")
         clause_sat = (cs[0] > 0).astype(jnp.float32)
     else:
