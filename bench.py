@@ -145,14 +145,17 @@ def main():
     walls.sort()
     wall = walls[len(walls) // 2]
 
-    # per-iteration slope without early termination (isolates the PDP
-    # iteration cost from setup/walksat; every iteration actually executes).
+    # per-iteration slope between 50 and 150 iterations with walksat off,
+    # the identical protocol to tools/measure_reference.py (termination
+    # active, budgets small enough that instances stay in the active solve
+    # regime - disabling termination would instead measure the worst case
+    # where every simplify fixed point runs to full depth on all instances).
     # Runs in chunks - single very long programs crash the tunneled TPU
     # worker - and degrades gracefully if the device objects.
     def fixed_step(rng, batch, state, carry, n_iters):
         _, state, carry = solver.forward(
             {}, rng, batch, state, n_iters,
-            is_training=False, check_termination=False,
+            is_training=False, check_termination=True,
             carry=carry, finalize=False)
         return state, carry
 
@@ -170,18 +173,20 @@ def main():
         float(jnp.sum(carry[0].solution))      # real sync via D2H
         return time.time() - t0
 
+    # slope via minimum walls: tunnel throttling is strictly additive noise,
+    # so min(wall) over repeats is the consistent estimator of the true
+    # program cost and the min-wall difference is the per-iteration cost
+    # (a median of noisy differences can triple under a throttled regime)
     per_iter = None
     try:
-        lo_c, hi_c = 2, 6
+        lo_c, hi_c = 1, 3  # 50 vs 150 iterations, as measure_reference.py
         run_fixed(hi_c)  # compile both programs
-        diffs = []
+        lo_w, hi_w = [], []
         for _ in range(3):
-            wall_lo = run_fixed(lo_c)
-            wall_hi = run_fixed(hi_c)
-            diffs.append(max(
-                (wall_hi - wall_lo) / ((hi_c - lo_c) * step_chunk), 1e-9))
-        diffs.sort()
-        per_iter = diffs[1]
+            lo_w.append(run_fixed(lo_c))
+            hi_w.append(run_fixed(hi_c))
+        per_iter = max((min(hi_w) - min(lo_w))
+                       / ((hi_c - lo_c) * step_chunk), 1e-9)
     except Exception:
         per_iter = None
 
@@ -222,9 +227,9 @@ def main():
                     return time.time() - t0
 
                 t(lo)
-                ds = sorted(max((t(hi) - t(lo)) / (hi - lo), 0.0)
-                            for _ in range(3))
-                return ds[1]
+                lo_w = [t(lo) for _ in range(3)]
+                hi_w = [t(hi) for _ in range(3)]
+                return max((min(hi_w) - min(lo_w)) / (hi - lo), 0.0)
 
             phases["sp_sweep_ms"] = round(
                 mslope(lambda n: sweep_n(n, state.prop), 5, 25) * 1e3, 2)
@@ -249,13 +254,13 @@ def main():
     # quickly has no value. Components reported alongside.
     value = solved / wall
     ref_rate = (ref["solved"] / ref["wall_s"]) if ref else None
-    vs = (value / ref_rate) if ref_rate else None
+    vs = (value / ref_rate) if ref_rate else None  # None for absent OR 0.0
 
     print(json.dumps({
         "metric": "pdp_4sat_verified_solutions_per_sec",
         "value": round(value, 4),
         "unit": "verified solutions/s",
-        "vs_baseline": round(vs, 2) if vs else None,
+        "vs_baseline": round(vs, 2) if vs is not None else None,
         "instances_per_sec": round(count / wall, 3),
         "ref_instances_per_sec": (round(ref["instances_per_sec"], 3)
                                   if ref else None),

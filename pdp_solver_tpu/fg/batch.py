@@ -42,6 +42,10 @@ import jax.numpy as jnp
 REDUCE_TILE = 1024
 REDUCE_WINDOW = 2048
 REDUCE_ALIGN = 1024
+# uniform widths whose fused tilings use non-TILE-aligned sub-windows
+# (ops/pallas_fused.py _TILES); their windowed invariant must hold over
+# adjacent slab pairs, see _windowed_ok
+_ODD_K = (3, 5, 6, 7)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -139,17 +143,29 @@ def bucket_dims(v: int, f: int, e: int, b: int,
     return up(v), up(f), up(e), up(b)
 
 
-def _windowed_ok(ids: np.ndarray) -> bool:
-    """True when every TILE-slab of ids spans < WINDOW - ALIGN ids, i.e. the
-    windowed one-hot reduce kernel is exact with no correction pass."""
+def _windowed_ok(ids: np.ndarray, pairwise: bool = False) -> bool:
+    """True when every windowed one-hot kernel sub-tile over these ids is
+    exact (span <= WINDOW - ALIGN after aligning the window base down).
+
+    pairwise=True checks ADJACENT PAIRS of TILE-slabs instead of single
+    slabs: the fused edge passes (ops/pallas_fused.py) use sub-tile widths
+    like 384/640/896 for uniform k in {3,5,6,7} whose windows are not
+    TILE-aligned and can straddle two slabs; a per-slab span bound does not
+    transfer to such a straddling window, and out-of-window ids would be
+    silently dropped. For the nested 1024/512 tilings (every other k) the
+    per-slab bound is exact and the pair bound would be needlessly strict
+    (it rejects plain sorted gap-free ids)."""
     n = ids.shape[0]
     if n == 0:
         return True
     pad = -(-n // REDUCE_TILE) * REDUCE_TILE
     padded = np.concatenate([ids, np.full(pad - n, ids[-1], ids.dtype)])
     tiles = padded.reshape(-1, REDUCE_TILE)
-    span = tiles.max(axis=1) - tiles.min(axis=1)
-    return bool((span <= REDUCE_WINDOW - REDUCE_ALIGN).all())
+    mins, maxs = tiles.min(axis=1), tiles.max(axis=1)
+    if pairwise and len(mins) > 1:
+        mins = np.minimum(mins[:-1], mins[1:])
+        maxs = np.maximum(maxs[:-1], maxs[1:])
+    return bool(((maxs - mins) <= REDUCE_WINDOW - REDUCE_ALIGN).all())
 
 
 def pack_instances(instances: Sequence[tuple],
@@ -247,8 +263,9 @@ def pack_instances(instances: Sequence[tuple],
         var_edges=var_edges, clause_edges=clause_edges,
         graph_feat=graph_feat,
         clause_width=clause_width,
-        fast_var=_windowed_ok(edge_var),
-        fast_clause=_windowed_ok(edge_clause))
+        fast_var=_windowed_ok(edge_var, pairwise=clause_width in _ODD_K),
+        fast_clause=_windowed_ok(edge_clause,
+                                 pairwise=clause_width in _ODD_K))
 
 
 ELL_MAX_WIDTH = 512   # above this degree fall back to segment scatters
@@ -311,8 +328,14 @@ def replicate_batch(batch: FGBatch, replication: int) -> FGBatch:
         off = jnp.repeat(jnp.arange(R, dtype=jnp.int32), num_rows)[:, None] * E
         return jnp.where(t >= 0, t + off, -1)
 
-    tile_aligned = E % REDUCE_TILE == 0
+    # Replica boundaries sit at multiples of E. The windowed kernels are
+    # safe only if no sub-window straddles a boundary (ids jump by ~V
+    # there): true for the 1024/512 tilings (k in {0,2,4,8}) when E is a
+    # multiple of the 1024 tile, but the k in {3,5,6,7} fused tilings use
+    # 384/640/768/896-wide sub-windows that a power-of-two E cannot align
+    # to - drop the fast flags for those (scatter fallback stays exact).
     k = batch.clause_width
+    tile_aligned = E % REDUCE_TILE == 0 and k in (0, 2, 4, 8)
     return FGBatch(
         edge_var=jnp.tile(batch.edge_var, R) + r_e * V,
         edge_clause=jnp.tile(batch.edge_clause, R) + r_e * F,

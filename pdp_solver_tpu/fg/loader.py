@@ -163,7 +163,10 @@ class BatchLoader:
             yield from self._emit(macro, fixed)
 
     def _emit(self, macro, fixed):
-        segments = []
+        # group first (raw instance tuples, cheap), pack one segment per
+        # yield - materializing every packed segment of a macro-batch at
+        # once would hold S full padded array sets in host memory
+        groups = []
         if fixed is not None:
             pv, pf, pe, pb = fixed
             # greedy fill below the fixed caps
@@ -172,17 +175,18 @@ class BatchLoader:
                 d = (inst[0], inst[1], inst[2].shape[1])
                 if seg and (sv[0] + d[0] > pv or sv[1] + d[1] > pf
                             or sv[2] + d[2] > pe or len(seg) >= pb):
-                    segments.append(self._pack(seg, pv, pf, pe, pb))
+                    groups.append(seg)
                     seg, sv = [], [0, 0, 0]
                 seg.append(inst)
                 sv = [sv[0] + d[0], sv[1] + d[1], sv[2] + d[2]]
             if seg:
-                segments.append(self._pack(seg, pv, pf, pe, pb))
+                groups.append(seg)
         else:
-            for seg in divide_batch(macro, self._limit, self._hidden_dim):
-                segments.append(self._pack(seg, None, None, None, None))
-        for i, (batch, misc) in enumerate(segments):
-            yield batch, misc, i == len(segments) - 1
+            pv = pf = pe = pb = None
+            groups = list(divide_batch(macro, self._limit, self._hidden_dim))
+        for i, seg in enumerate(groups):
+            batch, misc = self._pack(seg, pv, pf, pe, pb)
+            yield batch, misc, i == len(groups) - 1
 
     def _pack(self, seg, pv, pf, pe, pb):
         misc = [inst[5] if len(inst) > 5 else () for inst in seg]

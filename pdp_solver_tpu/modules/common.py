@@ -95,8 +95,8 @@ def _use_windowed(fast_flag, num_segments, ncols):
     """Windowed one-hot MXU reduce: the TPU default wherever the pack-time
     invariant holds (profiled ~6x cheaper than XLA scatter per reduce)."""
     mode = _backend()
-    if mode == "windowed":
-        return True
+    if mode == "windowed":      # forced kernel, but the pack-time invariant
+        return fast_flag        # is a correctness requirement, not a perf one
     if mode not in ("auto", "pallas"):
         return False
     return (fast_flag and jax.default_backend() == "tpu"

@@ -194,14 +194,40 @@ def _sp_pass_c(pi):
 
 
 def _use_fused_pass(batch: FGBatch) -> bool:
-    import os
-    mode = os.environ.get("PDP_FUSED_PASS", "auto")
-    if mode == "off":
-        return False
-    if mode == "on":
-        return True
-    return (batch.fast_var and batch.fast_clause
-            and jax.default_backend() == "tpu")
+    from pdp_solver_tpu.ops.pallas_fused import use_fused_pass
+    return use_fused_pass(batch)
+
+
+# chained A+B: the clause-direction log-u sum is tile-local under a uniform
+# clause width, so the eta survey and the polarity-split var reduction run
+# in the SAME kernel launch as the clause sum (sweep: 3 launches -> 2)
+def _sp_chain_f1(gathered, edge_vals):
+    u_in, eta_in, em, mask, eta_state, sign = edge_vals
+    return (safe_log(u_in, LOG_EPS_PROP) * em,)
+
+
+def _sp_chain_f1_login(gathered, edge_vals):
+    lu, eta_in, em, mask, eta_state, sign = edge_vals
+    return (lu * em,)
+
+
+def _sp_chain_f2(cred, clause_vals):
+    return (), cred
+
+
+@functools.lru_cache(maxsize=None)
+def _sp_chain_f3(login):
+    def f(bcast, gathered, edge_vals):
+        (cl_sum,) = bcast
+        u_in, eta_in, em, mask, eta_state, sign = edge_vals
+        log_u = (u_in if login else safe_log(u_in, LOG_EPS_PROP)) * em
+        eta = safe_exp(cl_sum - log_u)
+        new_eta = mask * eta + (1.0 - mask) * eta_state
+        lm = safe_log(1.0 - eta_in, LOG_EPS_PROP) * em
+        pos_w = jnp.where(sign == 1, 1.0, 0.0)
+        neg_w = jnp.where(sign == -1, 1.0, 0.0)
+        return (lm * pos_w, lm * neg_w), (new_eta,)
+    return f
 
 
 def survey_propagator_apply(params, cfg: SurveyPropagatorConfig,
@@ -241,19 +267,35 @@ def survey_propagator_apply(params, cfg: SurveyPropagatorConfig,
     if _use_fused_pass(batch):
         from pdp_solver_tpu.ops.pallas_fused import fused_edge_pass
         interp = jax.default_backend() != "tpu"
-        cl, (log_u,) = fused_edge_pass(
-            pass_a, edge_cols=(u_like, em),
-            reduce_ids=batch.edge_clause,
-            reduce_uniform=batch.clause_width,
-            num_segments=batch.num_clauses,
-            n_red=1, n_eout=1, interpret=interp)
-        pn, (new_eta,) = fused_edge_pass(
-            _sp_pass_b, node_cols=(cl[0],),
-            gather_ids=batch.edge_clause,
-            gather_uniform=batch.clause_width,
-            edge_cols=(log_u, eta_in, em, mask, eta_state, sign),
-            reduce_ids=batch.edge_var, num_segments=batch.num_vars,
-            n_red=2, n_eout=1, interpret=interp)
+        from pdp_solver_tpu.ops.pallas_fused import (
+            chained_edge_pass, use_chained_pass)
+        if use_chained_pass(batch):
+            # clause sum + eta + var reduction in one launch, then pass C
+            pn, (new_eta,) = chained_edge_pass(
+                (_sp_chain_f1_login if cfg.include_adaptors
+                 else _sp_chain_f1),
+                _sp_chain_f2, _sp_chain_f3(bool(cfg.include_adaptors)),
+                node_cols=(), gather_ids=batch.edge_var,
+                edge_cols=(u_like, eta_in, em, mask, eta_state, sign),
+                clause_width=batch.clause_width,
+                num_clauses=batch.num_clauses,
+                num_segments=batch.num_vars,
+                n_cred=1, n_cout=0, n_bcast=1, n_vred=2, n_eout=1,
+                interpret=interp)[1:]
+        else:
+            cl, (log_u,) = fused_edge_pass(
+                pass_a, edge_cols=(u_like, em),
+                reduce_ids=batch.edge_clause,
+                reduce_uniform=batch.clause_width,
+                num_segments=batch.num_clauses,
+                n_red=1, n_eout=1, interpret=interp)
+            pn, (new_eta,) = fused_edge_pass(
+                _sp_pass_b, node_cols=(cl[0],),
+                gather_ids=batch.edge_clause,
+                gather_uniform=batch.clause_width,
+                edge_cols=(log_u, eta_in, em, mask, eta_state, sign),
+                reduce_ids=batch.edge_var, num_segments=batch.num_vars,
+                n_red=2, n_eout=1, interpret=interp)
         _, (nv0, nv1, nv2) = fused_edge_pass(
             _sp_pass_c(float(cfg.pi)),
             node_cols=(pn[0], pn[1]), gather_ids=batch.edge_var,

@@ -35,7 +35,10 @@ Reference equivalence: each pass computes mask-matrix products of
 src/pdp/nn/solver.py:151-178 fused with their surrounding elementwise ops.
 """
 
+import contextlib
 import functools
+import os
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +46,41 @@ from jax.experimental import pallas as pl
 
 ALIGN = 1024
 WINDOW = 2048
+
+_STATE = threading.local()
+
+
+@contextlib.contextmanager
+def training_mode():
+    """Disable the no-VJP fused passes for the enclosed trace.
+
+    The fused kernels carry no differentiation rule; solver.forward enters
+    this context when is_training=True so gradient paths (p-nd-np / np-d-np
+    classical sweeps fed by neural state) fall back to the differentiable
+    ops instead of crashing in jax.grad. is_training is a static Python
+    bool, so the decision is baked per-trace."""
+    prev = getattr(_STATE, "training", False)
+    _STATE.training = True
+    try:
+        yield
+    finally:
+        _STATE.training = prev
+
+
+def use_fused_pass(batch) -> bool:
+    """Single gate for the no-VJP fused edge passes (PDP_FUSED_PASS env:
+    auto|on|off). 'on' forces the kernel off-TPU (interpret-testable) but
+    still requires the pack-time windowed invariants - forcing it past
+    fast_var/fast_clause would silently drop out-of-window ids."""
+    if getattr(_STATE, "training", False):
+        return False
+    mode = os.environ.get("PDP_FUSED_PASS", "auto")
+    if mode == "off":
+        return False
+    if mode == "on":
+        return bool(batch.fast_var and batch.fast_clause)
+    return bool(batch.fast_var and batch.fast_clause
+                and jax.default_backend() == "tpu")
 
 # (TILE, SUB) per uniform clause width k. TILE must be a multiple of 1024
 # (1-D i32 block constraint) with TILE/k a multiple of 128 (2-D minor-dim
@@ -210,6 +248,267 @@ def _make_call(f, E_pad, n_node, node_shapes, n_node2, node2_shapes,
                           interpret=interpret)
 
 
+IWIN = 2048  # instance-reduce window: num_instances must fit one window
+
+
+def _build_chained(f1, f2, f3, n_node, n_cl, n_edge,
+                   n_cred, n_cout, n_bcast, n_vred, n_eout, n_ired,
+                   k, tile, sub):
+    """Kernel for chained_edge_pass: both graph directions in one launch."""
+
+    def kernel(*refs):
+        it = iter(refs)
+        ids_ref = next(it)
+        node_refs = [next(it) for _ in range(n_node)]
+        clause_refs = [next(it) for _ in range(n_cl)]
+        cb_ref = next(it) if n_ired else None
+        edge_refs = [next(it) for _ in range(n_edge)]
+        cout_ref = next(it) if n_cout else None
+        vred_ref = next(it) if n_vred else None
+        ired_ref = next(it) if n_ired else None
+        eout_refs = [next(it) for _ in range(n_eout)]
+
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _():
+            if n_vred:
+                vred_ref[:] = jnp.zeros_like(vred_ref)
+            if n_ired:
+                ired_ref[:] = jnp.zeros_like(ired_ref)
+
+        for s in range(tile // sub):
+            lo = s * sub
+            sub_ids = ids_ref[lo:lo + sub]
+            base = (jnp.min(sub_ids) // ALIGN) * ALIGN
+            base = pl.multiple_of(base, ALIGN)
+            rel = sub_ids - base
+            col_iota = jax.lax.broadcasted_iota(jnp.int32, (sub, WINDOW), 1)
+            # ONE [S, W] one-hot per sub-tile, used in the SAME orientation
+            # by the gather (mat-vec) and the reduce (mat-mat): contracting
+            # its transpose instead makes Mosaic materialise a second 4MB
+            # copy per sub-tile and the kernel blows the 16MB VMEM budget
+            onehot = (rel[:, None] == col_iota).astype(jnp.float32)
+
+            gathered = tuple(
+                jnp.dot(onehot, r[pl.ds(base, WINDOW)],
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+                for r in node_refs)
+            edge_vals = tuple(r[lo:lo + sub] for r in edge_refs)
+
+            # edges -> clauses, tile-local (uniform k)
+            cred_cols = f1(gathered, edge_vals)
+            u_onehot = _uniform_onehot(sub, k)               # [S, S/k]
+            cred = jnp.dot(jnp.stack(cred_cols, axis=0), u_onehot,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+            cred = tuple(cred[c] for c in range(n_cred))
+
+            csl = slice(lo // k, (lo + sub) // k)
+            clause_vals = tuple(r[0, csl] for r in clause_refs)
+
+            # clause-level compute; bcast cols return to the edges in-tile
+            fout = f2(cred, clause_vals)
+            cout_cols, bcast_cols = fout[0], fout[1]
+            ired_cols = fout[2] if n_ired else ()
+            if n_cout:
+                cout_ref[:, csl] = jnp.stack(cout_cols, axis=0)
+
+            if n_ired:
+                # clause -> instance accumulate; instance ids fit a single
+                # static window (num_instances <= IWIN, checked by caller)
+                cb = cb_ref[0, csl].astype(jnp.int32)
+                iota_b = jax.lax.broadcasted_iota(
+                    jnp.int32, (sub // k, IWIN), 1)
+                onehot_b = (cb[:, None] == iota_b).astype(jnp.float32)
+                y = jnp.stack(ired_cols, axis=0)
+                ired_ref[:, :] = ired_ref[:, :] + jnp.dot(
+                    y, onehot_b, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+
+            if n_vred or n_eout:
+                bc = jax.lax.dot_general(
+                    jnp.stack(bcast_cols, axis=0), u_onehot,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                bcast_edges = tuple(bc[c] for c in range(n_bcast))
+
+                # edges -> vars, windowed accumulate (same one-hot, same
+                # orientation)
+                vred_cols, eouts = f3(bcast_edges, gathered, edge_vals)
+                if n_vred:
+                    x = jnp.stack(vred_cols, axis=0)
+                    sums = jnp.dot(x, onehot,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+                    window = vred_ref[:, pl.ds(base, WINDOW)]
+                    vred_ref[:, pl.ds(base, WINDOW)] = window + sums
+
+                for r, v in zip(eout_refs, eouts):
+                    r[lo:lo + sub] = v
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _make_chained_call(f1, f2, f3, E_pad, n_node, node_shapes,
+                       n_cl, n_edge, n_cred, n_cout, n_bcast,
+                       n_vred, n_eout, n_ired, num_vars, k, tile, sub,
+                       interpret):
+    grid = E_pad // tile
+    edge_spec = pl.BlockSpec((tile,), lambda i: (i,))
+    rows = E_pad // k
+    clause_spec = pl.BlockSpec((1, tile // k), lambda i: (0, i))
+
+    in_specs = [edge_spec]
+    in_specs += [pl.BlockSpec((s,), lambda i: (0,)) for s in node_shapes]
+    in_specs += [clause_spec for _ in range(n_cl)]
+    if n_ired:
+        in_specs.append(clause_spec)
+    in_specs += [edge_spec] * n_edge
+
+    out_specs, out_shape = [], []
+    if n_cout:
+        out_specs.append(pl.BlockSpec((n_cout, tile // k), lambda i: (0, i)))
+        out_shape.append(jax.ShapeDtypeStruct((n_cout, rows), jnp.float32))
+    if n_vred:
+        N_pad = -(-num_vars // ALIGN) * ALIGN + WINDOW
+        out_specs.append(pl.BlockSpec((n_vred, N_pad), lambda i: (0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((n_vred, N_pad), jnp.float32))
+    if n_ired:
+        out_specs.append(pl.BlockSpec((n_ired, IWIN), lambda i: (0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((n_ired, IWIN), jnp.float32))
+    out_specs += [edge_spec] * n_eout
+    out_shape += [jax.ShapeDtypeStruct((E_pad,), jnp.float32)] * n_eout
+
+    kernel = _build_chained(f1, f2, f3, n_node, n_cl, n_edge,
+                            n_cred, n_cout, n_bcast, n_vred, n_eout, n_ired,
+                            k, tile, sub)
+    return pl.pallas_call(kernel, grid=(grid,), in_specs=in_specs,
+                          out_specs=out_specs, out_shape=out_shape,
+                          interpret=interpret)
+
+
+def use_chained_pass(batch) -> bool:
+    """Chained passes additionally need the uniform clause layout (the
+    clause reduce must be tile-local)."""
+    return bool(use_fused_pass(batch)
+                and _pick_tiles(batch.clause_width) is not None
+                and batch.clause_width > 0)
+
+
+def chained_edge_pass(f1, f2, f3, *, node_cols, gather_ids, clause_cols=(),
+                      edge_cols=(), clause_width, num_clauses,
+                      num_segments, n_cred, n_cout, n_bcast, n_vred,
+                      n_eout=0, n_ired=0, clause_batch=None,
+                      num_instances=0, interpret=False):
+    """Both graph directions of a clause-direction -> var-direction chain in
+    ONE kernel launch (uniform clause width k only: every clause's k edges
+    sit inside one sub-tile, so the clause reduce is tile-local and the
+    clause-level result can be broadcast straight back to its edges).
+
+        f1(gathered_nodes, edge_vals) -> n_cred edge reduce columns
+        f2(clause_reduced, clause_vals) -> (n_cout out cols, n_bcast cols)
+            or, when n_ired: (cout cols, bcast cols, n_ired instance cols)
+        f3(bcast_edge_vals, gathered_nodes, edge_vals)
+            -> (n_vred var reduce columns, n_eout edge outputs)
+            (skipped entirely when n_vred == n_eout == 0; pass f3=None)
+
+    When n_ired > 0, f2's third tuple is clause-level columns summed per
+    instance via `clause_batch` (i32[num_clauses] instance ids); requires
+    num_instances <= IWIN and f2 to zero its instance columns on padded
+    clauses (pad ids are 0, so unmasked padding would pollute instance 0).
+
+    All f* must be module-level (compile-cache keys) and mask by the edge
+    mask where reductions must ignore padding. node_cols are gathered (and
+    the n_vred columns reduced) via gather_ids under the windowed invariant
+    (batch.fast_var); clause_cols are [F] arrays in the uniform layout.
+
+    Returns (clause_out [n_cout, num_clauses] or None,
+             var_out [n_vred, num_segments], eouts).
+
+    Replaces chains like simplify's phase C + phase V or WalkSAT's
+    clause-energy + break-count passes (two launches -> one) on a device
+    with a multi-ms per-launch floor."""
+    k = clause_width
+    tile, sub = _pick_tiles(k)
+    E = gather_ids.shape[0]
+    E_pad = -(-E // tile) * tile
+
+    def pad_e(x, fill):
+        if E_pad == E:
+            return x
+        return jnp.concatenate([x, jnp.full((E_pad - E,), fill, x.dtype)])
+
+    node_shapes, padded_nodes = [], []
+    for c in node_cols:
+        c = c.astype(jnp.float32)
+        n = c.shape[0]
+        n_pad = -(-n // ALIGN) * ALIGN + WINDOW
+        if n_pad != n:
+            c = jnp.concatenate([c, jnp.zeros((n_pad - n,), jnp.float32)])
+        node_shapes.append(n_pad)
+        padded_nodes.append(c)
+
+    rows = E_pad // k
+    padded_clauses = []
+    for c in clause_cols:
+        c = c.astype(jnp.float32)
+        n = c.shape[0]
+        if n >= rows:
+            c = c[:rows]
+        else:
+            c = jnp.concatenate([c, jnp.zeros((rows - n,), jnp.float32)])
+        padded_clauses.append(c[None, :])
+
+    args = [pad_e(gather_ids.astype(jnp.int32), gather_ids[-1])]
+    args += padded_nodes + padded_clauses
+    if n_ired:
+        if num_instances > IWIN:
+            raise ValueError(f"num_instances {num_instances} > IWIN {IWIN}")
+        cb = clause_batch.astype(jnp.float32)
+        if cb.shape[0] >= rows:
+            cb = cb[:rows]
+        else:
+            cb = jnp.concatenate([cb, jnp.zeros((rows - cb.shape[0],),
+                                                jnp.float32)])
+        args.append(cb[None, :])
+    args += [pad_e(c.astype(jnp.float32), 0) for c in edge_cols]
+
+    call = _make_chained_call(
+        f1, f2, f3, E_pad, len(node_cols), tuple(node_shapes),
+        len(clause_cols), len(edge_cols), n_cred, n_cout, n_bcast,
+        n_vred, n_eout, n_ired, int(num_segments), k, tile, sub,
+        bool(interpret))
+    outs = call(*args)
+    if not isinstance(outs, (tuple, list)):
+        outs = (outs,)
+    idx = 0
+    clause_out = None
+    if n_cout:
+        clause_out = outs[0]
+        if rows >= num_clauses:
+            clause_out = clause_out[:, :num_clauses]
+        else:
+            clause_out = jnp.pad(clause_out,
+                                 ((0, 0), (0, num_clauses - rows)))
+        idx = 1
+    var_out = None
+    if n_vred:
+        var_out = outs[idx][:, :num_segments]
+        idx += 1
+    inst_out = None
+    if n_ired:
+        inst_out = outs[idx][:, :num_instances]
+        idx += 1
+    eouts = tuple(o[:E] for o in outs[idx:])
+    if n_ired:
+        return clause_out, var_out, eouts, inst_out
+    return clause_out, var_out, eouts
+
+
 def fused_edge_pass(f, *, node_cols=(), gather_ids=None, gather_uniform=0,
                     node_cols2=(), gather_ids2=None, gather2_uniform=0,
                     edge_cols=(), reduce_ids=None, reduce_uniform=0,
@@ -283,11 +582,14 @@ def fused_edge_pass(f, *, node_cols=(), gather_ids=None, gather_uniform=0,
     node_shapes, padded_nodes = prep_nodes(node_cols, gk)
     node2_shapes, padded_nodes2 = prep_nodes(node_cols2, g2k)
 
+    # pad every ids column with its LAST real id (not 0): a fill of 0 in a
+    # sub-tile that mixes real tail edges with padding would pull the window
+    # base to 0 and silently drop any real id >= WINDOW
     args = []
     if node_cols and not gk:
-        args.append(pad_e(gather_ids.astype(jnp.int32), 0))
+        args.append(pad_e(gather_ids.astype(jnp.int32), gather_ids[-1]))
     if node_cols2 and not g2k:
-        args.append(pad_e(gather_ids2.astype(jnp.int32), 0))
+        args.append(pad_e(gather_ids2.astype(jnp.int32), gather_ids2[-1]))
     if n_red and not rk:
         args.append(pad_e(reduce_ids.astype(jnp.int32), reduce_ids[-1]))
     args += padded_nodes + padded_nodes2

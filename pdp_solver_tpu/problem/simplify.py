@@ -222,21 +222,64 @@ def _phase_v_f(gathered, edge_vals):
     return (s_e, sign * s_e, c_e, sign * c_e), ()
 
 
+# chained single-launch round (uniform clause width): phase C reduced
+# tile-locally, clause update computed at clause level, broadcast back and
+# reduced to vars - one kernel instead of two
+def _sround_f1(gathered, edge_vals):
+    av_e, sol_e = gathered
+    sign, mask = edge_vals
+    pos_true = jnp.where(sol_e >= 1.0, 1.0, 0.0)
+    neg_true = jnp.where(sol_e <= 0.0, 1.0, 0.0)
+    lit_true = jnp.where(sign > 0, pos_true, neg_true)
+    assigned = jnp.where(av_e <= 0, 1.0, 0.0)
+    return (av_e * mask, lit_true * assigned * mask)
+
+
+def _sround_f2(cred, clause_vals):
+    degree_f, sat_f = cred
+    (ac,) = clause_vals
+    ac2 = jnp.where(sat_f > 0, 0.0, ac)
+    single_f = jnp.where(degree_f == 1.0, 1.0, 0.0) * ac2
+    return (ac2,), (ac2, single_f)
+
+
+def _sround_f3(bcast, gathered, edge_vals):
+    ac_e, single_e = bcast
+    sign, mask = edge_vals
+    s_e = single_e * mask
+    c_e = ac_e * mask
+    return (s_e, sign * s_e, c_e, sign * c_e), ()
+
+
 def _use_fused_kernel(batch: FGBatch) -> bool:
-    import os
-    mode = os.environ.get("PDP_FUSED_PASS", "auto")
-    if mode == "off":
-        return False
-    if mode == "on":
-        return True
-    return (batch.fast_var and batch.fast_clause
-            and jax.default_backend() == "tpu")
+    from pdp_solver_tpu.ops.pallas_fused import use_fused_pass
+    return use_fused_pass(batch)
 
 
 def _fused_round(batch: FGBatch, state: ProblemState):
     """One combined unit-prop + peel + satisfied-removal round."""
     B = batch.batch_size
     use_kernel = _use_fused_kernel(batch)
+
+    from pdp_solver_tpu.ops.pallas_fused import use_chained_pass
+    if use_kernel and use_chained_pass(batch):
+        from pdp_solver_tpu.ops.pallas_fused import chained_edge_pass
+        cout, vd, _ = chained_edge_pass(
+            _sround_f1, _sround_f2, _sround_f3,
+            node_cols=(state.active_vars, state.solution),
+            gather_ids=batch.edge_var,
+            clause_cols=(state.active_clauses,),
+            edge_cols=(batch.edge_sign, batch.edge_mask),
+            clause_width=batch.clause_width,
+            num_clauses=batch.num_clauses,
+            num_segments=batch.num_vars,
+            n_cred=2, n_cout=1, n_bcast=2, n_vred=4,
+            interpret=jax.default_backend() != "tpu")
+        active_clauses = cout[0]
+        removed_any = jnp.sum(state.active_clauses - active_clauses)
+        return _fused_round_tail(
+            batch, state, active_clauses, removed_any,
+            vd[0], vd[1], vd[2], vd[3])
 
     # ---- phase C: edges -> clauses ------------------------------------
     if use_kernel:
@@ -282,10 +325,15 @@ def _fused_round(batch: FGBatch, state: ProblemState):
         c_e = active_clauses[batch.edge_clause] * batch.edge_mask
         vd = scatter_to_vars_cols(
             batch, (s_e, batch.edge_sign * s_e, c_e, batch.edge_sign * c_e))
-    input_num = vd[0]
-    var_eval = vd[1]
-    degree_v = vd[2]
-    signed_degree_v = vd[3]
+    return _fused_round_tail(batch, state, active_clauses, removed_any,
+                             vd[0], vd[1], vd[2], vd[3])
+
+
+def _fused_round_tail(batch, state, active_clauses, removed_any,
+                      input_num, var_eval, degree_v, signed_degree_v):
+    """Node-level conclusion of a fused round (shared by the chained and
+    two-pass kernels): conflicts, unit forcing, pure literals."""
+    B = batch.batch_size
 
     # conflicts: a variable forced both ways by unit clauses marks its
     # whole instance UNSAT (solver.py:247-261; >=1 conflict deactivates,

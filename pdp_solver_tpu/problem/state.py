@@ -55,15 +55,8 @@ def _em_ae_pass(gathered, edge_vals):
 
 
 def _use_fused(batch: FGBatch) -> bool:
-    import os
-    import jax
-    mode = os.environ.get("PDP_FUSED_PASS", "auto")
-    if mode == "off":
-        return False
-    if mode == "on":
-        return True
-    return (batch.fast_var and batch.fast_clause
-            and jax.default_backend() == "tpu")
+    from pdp_solver_tpu.ops.pallas_fused import use_fused_pass
+    return use_fused_pass(batch)
 
 
 def compute_edge_mask(batch: FGBatch, state: ProblemState) -> jnp.ndarray:

@@ -89,6 +89,41 @@ def _ws_pass_b(gathered, edge_vals):
     return (critical * dist, unsat_f * mask), ()
 
 
+# chained single-launch WalkSAT iteration (uniform clause width): clause
+# energy + break counts + flip deltas in one kernel
+def _ws_cf1(gathered, edge_vals):
+    sa_e, av_e = gathered
+    sign, mask, em = edge_vals
+    return (sign * sa_e * mask, av_e * mask)
+
+
+def _ws_cf2(cred, clause_vals):
+    agg_f, degree_f = cred
+    (ac,) = clause_vals
+    unsat_f = jnp.where(agg_f == -degree_f, 1.0, 0.0) * ac
+    return (unsat_f,), (agg_f, degree_f, unsat_f)
+
+
+def _ws_cf2_ired(cred, clause_vals):
+    """_ws_cf2 + the per-instance energy reduce in the same launch (the
+    reference's F-level torch.sum, solver.py:494, is a separate kernel);
+    unsat_f is already 0 on padded clauses via ac."""
+    agg_f, degree_f = cred
+    (ac,) = clause_vals
+    unsat_f = jnp.where(agg_f == -degree_f, 1.0, 0.0) * ac
+    return (), (agg_f, degree_f, unsat_f), (unsat_f,)
+
+
+def _ws_cf3(bcast, gathered, edge_vals):
+    agg_c, degree_c, unsat_c = bcast
+    sa_e, av_e = gathered
+    sign, mask, em = edge_vals
+    dist = sign * sa_e * mask
+    agg_e = agg_c - dist
+    critical = jnp.where(agg_e == (1.0 - degree_c), 1.0, 0.0) * em
+    return (critical * dist, unsat_c * mask), ()
+
+
 class PDPSolver:
     """Config-driven assembly; all public methods are pure and jittable."""
 
@@ -279,6 +314,26 @@ class PDPSolver:
                 check_termination: bool = False, replication: int = 1,
                 simplify_first: bool = True, graph_feat=None,
                 carry=None, finalize=True):
+        """See _forward. Training traces run under training_mode() so the
+        no-VJP fused kernels stand down for differentiable fallbacks
+        (is_training is static, so this bakes per-trace)."""
+        kw = dict(is_training=is_training,
+                  check_termination=check_termination,
+                  replication=replication, simplify_first=simplify_first,
+                  graph_feat=graph_feat, carry=carry, finalize=finalize)
+        if is_training:
+            from pdp_solver_tpu.ops.pallas_fused import training_mode
+            with training_mode():
+                return self._forward(params, rng, batch, init_state,
+                                     iteration_num, **kw)
+        return self._forward(params, rng, batch, init_state,
+                             iteration_num, **kw)
+
+    def _forward(self, params, rng, batch: FGBatch, init_state: SolverState,
+                 iteration_num: int, *, is_training: bool,
+                 check_termination: bool = False, replication: int = 1,
+                 simplify_first: bool = True, graph_feat=None,
+                 carry=None, finalize=True):
         """One full solve (reference solver.py:324-353).
 
         graph_feat: optional [B, meta_dim] per-instance features (reference
@@ -469,38 +524,81 @@ class PDPSolver:
             return jnp.logical_and(it < iters, jnp.logical_not(done))
 
         from pdp_solver_tpu.problem.simplify import _use_fused_kernel
+        from pdp_solver_tpu.ops.pallas_fused import use_chained_pass
         use_kernel = _use_fused_kernel(batch)
+        use_chained = use_kernel and use_chained_pass(batch)
 
         def body(carry):
             assign, rng, it, _ = carry
             rng, r_coin, r_rand = jax.random.split(rng, 3)
 
             # energy (solver.py:486-496) and flip-delta (solver.py:469-484)
-            # share the same clause-direction columns; one reduce feeds both
-            if use_kernel:
-                from pdp_solver_tpu.ops.pallas_fused import fused_edge_pass
-                cd, (dist,) = fused_edge_pass(
-                    _ws_pass_a,
-                    node_cols=(assign * problem.active_vars,
-                               problem.active_vars),
-                    gather_ids=batch.edge_var,
-                    edge_cols=(batch.edge_sign, batch.edge_mask),
-                    reduce_ids=batch.edge_clause,
-                    reduce_uniform=batch.clause_width,
-                    num_segments=batch.num_clauses, n_red=2, n_eout=1,
-                    interpret=jax.default_backend() != "tpu")
+            # share the same clause-direction columns; on the uniform fast
+            # path BOTH graph directions run in one chained kernel launch
+            if use_chained:
+                from pdp_solver_tpu.ops.pallas_fused import (
+                    IWIN, chained_edge_pass)
+                if B <= IWIN:
+                    # energy's F->B reduce rides the same launch
+                    _, vd, _, iout = chained_edge_pass(
+                        _ws_cf1, _ws_cf2_ired, _ws_cf3,
+                        node_cols=(assign * problem.active_vars,
+                                   problem.active_vars),
+                        gather_ids=batch.edge_var,
+                        clause_cols=(problem.active_clauses,),
+                        edge_cols=(batch.edge_sign, batch.edge_mask, em),
+                        clause_width=batch.clause_width,
+                        num_clauses=batch.num_clauses,
+                        num_segments=batch.num_vars,
+                        n_cred=2, n_cout=0, n_bcast=3, n_vred=2,
+                        n_ired=1, clause_batch=batch.clause_batch,
+                        num_instances=B,
+                        interpret=jax.default_backend() != "tpu")
+                    unsat_f = None
+                    energy_b = iout[0]
+                else:
+                    cout, vd, _ = chained_edge_pass(
+                        _ws_cf1, _ws_cf2, _ws_cf3,
+                        node_cols=(assign * problem.active_vars,
+                                   problem.active_vars),
+                        gather_ids=batch.edge_var,
+                        clause_cols=(problem.active_clauses,),
+                        edge_cols=(batch.edge_sign, batch.edge_mask, em),
+                        clause_width=batch.clause_width,
+                        num_clauses=batch.num_clauses,
+                        num_segments=batch.num_vars,
+                        n_cred=2, n_cout=1, n_bcast=3, n_vred=2,
+                        interpret=jax.default_backend() != "tpu")
+                    unsat_f = cout[0]
             else:
-                dist = (batch.edge_sign
-                        * (assign * problem.active_vars)[batch.edge_var]
-                        * batch.edge_mask)
-                deg_e = problem.active_vars[batch.edge_var] * batch.edge_mask
-                cd = common.scatter_to_clauses_cols(batch, (dist, deg_e))
-            agg_f = cd[0]
-            degree_f = cd[1]
-            unsat_f = ((agg_f == -degree_f).astype(jnp.float32)
-                       * problem.active_clauses)
-            energy_b = segment_sum(unsat_f, batch.clause_batch, B,
-                                   indices_are_sorted=True)
+                if use_kernel:
+                    from pdp_solver_tpu.ops.pallas_fused import \
+                        fused_edge_pass
+                    cd, (dist,) = fused_edge_pass(
+                        _ws_pass_a,
+                        node_cols=(assign * problem.active_vars,
+                                   problem.active_vars),
+                        gather_ids=batch.edge_var,
+                        edge_cols=(batch.edge_sign, batch.edge_mask),
+                        reduce_ids=batch.edge_clause,
+                        reduce_uniform=batch.clause_width,
+                        num_segments=batch.num_clauses, n_red=2, n_eout=1,
+                        interpret=jax.default_backend() != "tpu")
+                else:
+                    dist = (batch.edge_sign
+                            * (assign * problem.active_vars)[batch.edge_var]
+                            * batch.edge_mask)
+                    deg_e = (problem.active_vars[batch.edge_var]
+                             * batch.edge_mask)
+                    cd = common.scatter_to_clauses_cols(batch, (dist, deg_e))
+                agg_f = cd[0]
+                degree_f = cd[1]
+                unsat_f = ((agg_f == -degree_f).astype(jnp.float32)
+                           * problem.active_clauses)
+
+            if unsat_f is not None:
+                energy_b = segment_sum(unsat_f, batch.clause_batch, B,
+                                       indices_are_sorted=True)
             unsat_b = (energy_b > 0).astype(jnp.float32) * batch.instance_mask
             if replication > 1:
                 # an original instance is finished once ANY replica solves it
@@ -512,7 +610,9 @@ class PDPSolver:
                 done = jnp.sum(unsat_b) <= 0.0
 
             # critical edges: the clause is decided solely by this literal
-            if use_kernel:
+            if use_chained:
+                pass        # vd already holds (flip delta, unsat per var)
+            elif use_kernel:
                 from pdp_solver_tpu.ops.pallas_fused import fused_edge_pass
                 vd, _ = fused_edge_pass(
                     _ws_pass_b,

@@ -63,6 +63,22 @@ def _cnf_eval_pass(gathered, edge_vals):
     return (jnp.where(lit > 0.5, 1.0, 0.0) * mask,), ()
 
 
+def _cnf_chain_f1(gathered, edge_vals):
+    (p_e,) = gathered
+    sign, mask = edge_vals
+    lit = sign * p_e + (1.0 - sign) / 2.0
+    return (jnp.where(lit > 0.5, 1.0, 0.0) * mask,)
+
+
+def _cnf_chain_f2(cred, clause_vals):
+    """Clause satisfaction + BOTH instance counts (max-sat, got-sat) reduced
+    in the same launch; cm is 0 on padded clauses so instance 0 stays clean."""
+    (cs,) = cred
+    (cm,) = clause_vals
+    clause_sat = jnp.where(cs > 0, 1.0, 0.0) * cm
+    return (), (), (cm, clause_sat)
+
+
 def cnf_evaluate(batch: FGBatch, variable_prediction):
     """Hard verification (util.py:203-236): threshold the prediction, count
     satisfied clauses per instance. Returns (solved f32[B], unsat_count f32[B]).
@@ -72,7 +88,26 @@ def cnf_evaluate(batch: FGBatch, variable_prediction):
     from pdp_solver_tpu.problem.state import _use_fused
     if _use_fused(batch):
         import jax
-        from pdp_solver_tpu.ops.pallas_fused import fused_edge_pass
+        from pdp_solver_tpu.ops.pallas_fused import (
+            IWIN, chained_edge_pass, fused_edge_pass, use_chained_pass)
+        if use_chained_pass(batch) and B <= IWIN:
+            # whole verification (edge pass + clause reduce + instance
+            # reduces) in ONE launch
+            _, _, _, iout = chained_edge_pass(
+                _cnf_chain_f1, _cnf_chain_f2, None,
+                node_cols=(variable_prediction[:, 0],),
+                gather_ids=batch.edge_var,
+                clause_cols=(batch.clause_mask,),
+                edge_cols=(batch.edge_sign, batch.edge_mask),
+                clause_width=batch.clause_width,
+                num_clauses=F, num_segments=batch.num_vars,
+                n_cred=1, n_cout=0, n_bcast=0, n_vred=0, n_eout=0,
+                n_ired=2, clause_batch=batch.clause_batch,
+                num_instances=B,
+                interpret=jax.default_backend() != "tpu")
+            max_sat, got_sat = iout[0], iout[1]
+            solved = (max_sat == got_sat).astype(jnp.float32)
+            return solved, max_sat - got_sat
         cs, _ = fused_edge_pass(
             _cnf_eval_pass, node_cols=(variable_prediction[:, 0],),
             gather_ids=batch.edge_var,

@@ -104,7 +104,14 @@ def main():
                          hidden_dim=CFG["hidden_dim"], fixed_shape=True)
 
     losses, evals = [], []
+    # never clobber a better checkpoint from a previous (resumed) run: the
+    # best-val watermark is persisted next to the best checkpoint
     best = -1.0
+    best_meta = os.path.join(best_dir, "best_val.json")
+    if start_step and os.path.exists(best_meta):
+        with open(best_meta) as f:
+            best = float(json.load(f)["val_solved"])
+        print(f"best-val watermark {best:.3f}", flush=True)
     t0 = time.time()
     done = start_step
     stop = False
@@ -127,6 +134,8 @@ def main():
                 if frac > best:
                     best = frac
                     trainer._save_train_state(ts, best_dir)
+                    with open(best_meta, "w") as f:
+                        json.dump({"val_solved": frac, "step": done}, f)
             if done >= max_steps or time.time() - t0 > wall_budget:
                 stop = True
                 break
