@@ -519,14 +519,71 @@ class PDPSolver:
         assign = problem.active_vars * (2.0 * assign - 1.0)
         em = compute_edge_mask(batch, problem)
 
-        def cond(carry):
-            assign, rng, it, done = carry
-            return jnp.logical_and(it < iters, jnp.logical_not(done))
-
         from pdp_solver_tpu.problem.simplify import _use_fused_kernel
         from pdp_solver_tpu.ops.pallas_fused import use_chained_pass
         use_kernel = _use_fused_kernel(batch)
         use_chained = use_kernel and use_chained_pass(batch)
+
+        # multi-iteration mega-kernel: K complete WalkSAT iterations
+        # (energies, deltas, selection, flip) per launch, amortising the
+        # device's per-launch floor. auto = TPU only; "on" forces the
+        # interpret path (different RNG stream than the per-iteration loop,
+        # so parity tests opt in explicitly).
+        import os
+        from pdp_solver_tpu.ops.pallas_walksat import (
+            use_walksat_mega, walksat_block, walksat_edge_constants)
+        mega_mode = os.environ.get("PDP_WALKSAT_MEGA", "auto")
+        K = int(os.environ.get("PDP_WALKSAT_K", "8"))
+        use_mega = (use_chained and use_walksat_mega(batch)
+                    and mega_mode != "off"
+                    and (mega_mode == "on"
+                         or jax.default_backend() == "tpu")
+                    and iters >= K > 1)
+
+        not_done0 = jnp.sum(batch.instance_mask) < 0
+        it0 = jnp.sum(batch.instance_mask).astype(jnp.int32) * 0
+
+        def block_done(energy):
+            unsat_b = ((energy > 0).astype(jnp.float32)
+                       * batch.instance_mask)
+            if replication > 1:
+                solved_any = _group_any(1.0 - unsat_b, replication)
+                return jnp.sum((1.0 - solved_any)
+                               * batch.instance_mask) <= 0.0
+            return jnp.sum(unsat_b) <= 0.0
+
+        if use_mega:
+            n_blocks = iters // K
+            econst = walksat_edge_constants(batch, problem.active_vars)
+
+            def mcond(carry):
+                assign, rng, blk, done = carry
+                return jnp.logical_and(blk < n_blocks,
+                                       jnp.logical_not(done))
+
+            def mbody(carry):
+                assign, rng, blk, _ = carry
+                rng, r = jax.random.split(rng)
+                seed = jax.lax.bitcast_convert_type(
+                    jax.random.bits(r, (1,), jnp.uint32), jnp.int32)
+                assign, energy = walksat_block(
+                    assign, batch=batch,
+                    active_vars=problem.active_vars,
+                    active_clauses=problem.active_clauses, em=em,
+                    K=K, seed=seed, eps=eps, edge_constants=econst,
+                    interpret=jax.default_backend() != "tpu")
+                return assign, rng, blk + 1, block_done(energy)
+
+            assign, rng, _, done0 = jax.lax.while_loop(
+                mcond, mbody, (assign, rng, it0, not_done0))
+            iters = iters % K    # remainder runs the per-iteration loop
+            not_done0 = done0
+            if iters == 0:
+                return ((assign + 1.0) / 2.0)[:, None]
+
+        def cond(carry):
+            assign, rng, it, done = carry
+            return jnp.logical_and(it < iters, jnp.logical_not(done))
 
         def body(carry):
             assign, rng, it, _ = carry
@@ -652,10 +709,8 @@ class PDPSolver:
             assign = jnp.where(sel, -assign, assign)
             return assign, rng, it + 1, done
 
-        # derive the initial flags from batch data so their sharding matches
-        # the loop body's outputs under shard_map (varying-axes check)
-        not_done0 = jnp.sum(batch.instance_mask) < 0
-        it0 = jnp.sum(batch.instance_mask).astype(jnp.int32) * 0
+        # (not_done0/it0 are derived from batch data above so their sharding
+        # matches the loop body's outputs under shard_map)
         assign, _, _, _ = jax.lax.while_loop(
             cond, body, (assign, rng, it0, not_done0))
         return ((assign + 1.0) / 2.0)[:, None]
