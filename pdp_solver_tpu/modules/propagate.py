@@ -269,6 +269,28 @@ def survey_propagator_apply(params, cfg: SurveyPropagatorConfig,
         interp = jax.default_backend() != "tpu"
         from pdp_solver_tpu.ops.pallas_fused import (
             chained_edge_pass, use_chained_pass)
+        from pdp_solver_tpu.ops.pallas_sp import sp_full_sweep, use_sp_sweep
+        import os
+        if (use_sp_sweep(batch)
+                and os.environ.get("PDP_SP_SWEEP", "off") == "on"):
+            # the COMPLETE sweep (clause sums, eta, polarity aggregation,
+            # q-triplet) in ONE kernel launch. Opt-in only: measured on
+            # chip, the two-phase single launch re-streams every edge
+            # block and rebuilds the one-hots twice per sweep, and LOSES
+            # to the two-launch path at every size (0.51 vs 0.40 ms at
+            # E=33k, 8.2 vs 7.3 ms at E=524k) - kernel launches inside a
+            # compiled loop are cheap; the per-program dispatch floor is
+            # what costs milliseconds. Kept as the base for folding the
+            # decimator's convergence/scorer reductions into the sweep.
+            new_eta, nv0, nv1, nv2 = sp_full_sweep(
+                gather_ids=batch.edge_var,
+                clause_width=batch.clause_width,
+                num_vars=batch.num_vars,
+                u_like=u_like, eta_in=eta_in, em=em, mask=mask,
+                eta_state=eta_state, sign=sign, force=force,
+                v0=v0, v1=v1, v2=v2, pi=float(cfg.pi),
+                login=bool(cfg.include_adaptors), interpret=interp)
+            return SPMessages(var=(nv0, nv1, nv2), fn=(new_eta, force))
         if use_chained_pass(batch):
             # clause sum + eta + var reduction in one launch, then pass C
             pn, (new_eta,) = chained_edge_pass(

@@ -66,6 +66,12 @@ def _build_walksat(K, T, k, tile, sub, NP, B_pad, eps):
             energy_ref[:] = jnp.zeros_like(energy_ref)
 
         # ---- edge phase: energies, flip deltas, per-var unsat ----------
+        # every matmul operand here is a small integer (one-hots, +/-1
+        # literal values, clause sums <= k, 0/1 flags), so bfloat16
+        # operands are EXACT while halving the dominant VMEM traffic; all
+        # accumulation stays f32 via preferred_element_type. The selection
+        # phase below stays f32 (it carries variable indices up to V_MAX,
+        # which bf16 cannot represent).
         for s in range(tile // sub):
             lo = s * sub
             sub_ids = ids_ref[lo:lo + sub]
@@ -73,7 +79,7 @@ def _build_walksat(K, T, k, tile, sub, NP, B_pad, eps):
             base = pl.multiple_of(base, ALIGN)
             rel = sub_ids - base
             col_iota = jax.lax.broadcasted_iota(jnp.int32, (sub, WINDOW), 1)
-            onehot = (rel[:, None] == col_iota).astype(jnp.float32)
+            onehot = (rel[:, None] == col_iota).astype(jnp.bfloat16)
 
             # mat-vec per node ref, SAME one-hot orientation as the reduce
             # below - the transposed contraction would make Mosaic
@@ -81,18 +87,22 @@ def _build_walksat(K, T, k, tile, sub, NP, B_pad, eps):
             # Only the assignment is gathered in-kernel: the edge-constant
             # factors (sign*mask*active_var, mask*active_var) are precomputed
             # once per local search by the caller, halving the gather matmuls
-            asg_g = jnp.dot(onehot, assign_ref[pl.ds(base, WINDOW)],
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+            # 2-D rhs: Mosaic's bf16 matmul path rejects a rank-1 rhs
+            # ("rhs must be vector-like [B, K]"); insert the minor dim while
+            # still f32 (minor-dim insertion is 32-bit-only), then cast
+            asg_g = jnp.dot(
+                onehot,
+                assign_ref[pl.ds(base, WINDOW)][:, None].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)[:, 0]
 
             em = em_ref[lo:lo + sub]
             dist = w_ref[lo:lo + sub] * asg_g
             deg = dm_ref[lo:lo + sub]
 
-            u_oh = _uniform_onehot(sub, k)                    # [S, S/k]
-            cred = jnp.dot(jnp.stack([dist, deg], axis=0), u_oh,
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+            u_oh = _uniform_onehot(sub, k).astype(jnp.bfloat16)  # [S,S/k]
+            cred = jnp.dot(
+                jnp.stack([dist, deg], axis=0).astype(jnp.bfloat16), u_oh,
+                preferred_element_type=jnp.float32)
             csl = slice(lo // k, (lo + sub) // k)
             ac_t = ac_ref[0, csl]
             unsat = jnp.where(cred[0] == -cred[1], 1.0, 0.0) * ac_t
@@ -100,27 +110,25 @@ def _build_walksat(K, T, k, tile, sub, NP, B_pad, eps):
             # clause -> instance energy accumulate
             cbt = cb_ref[0, csl].astype(jnp.int32)
             iota_b = jax.lax.broadcasted_iota(jnp.int32, (sub // k, IWIN), 1)
-            oh_b = (cbt[:, None] == iota_b).astype(jnp.float32)
+            oh_b = (cbt[:, None] == iota_b).astype(jnp.bfloat16)
             energy_ref[:, :] = energy_ref[:, :] + jnp.dot(
-                unsat[None, :], oh_b,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                unsat[None, :].astype(jnp.bfloat16), oh_b,
+                preferred_element_type=jnp.float32)
 
             # clause levels back to the edges (same one-hot orientation)
             bc = jax.lax.dot_general(
-                jnp.stack([cred[0], cred[1], unsat], axis=0), u_oh,
+                jnp.stack([cred[0], cred[1], unsat],
+                          axis=0).astype(jnp.bfloat16), u_oh,
                 (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                preferred_element_type=jnp.float32)
             agg_e = bc[0] - dist
             critical = jnp.where(agg_e == 1.0 - bc[1], 1.0, 0.0) * em
             # deg (= mask*active_var) in place of the bare mask is exact
             # downstream: vred[1] is only ever read multiplied by the
             # node-level active_vars, which equals the per-edge av factor
             x = jnp.stack([critical * dist, bc[2] * deg], axis=0)
-            sums = jnp.dot(x, onehot,
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+            sums = jnp.dot(x.astype(jnp.bfloat16), onehot,
+                           preferred_element_type=jnp.float32)
             window = vred_ref[:, pl.ds(base, WINDOW)]
             vred_ref[:, pl.ds(base, WINDOW)] = window + sums
 
