@@ -24,7 +24,8 @@ from pdp_solver_tpu.modules import common, mlp
 from pdp_solver_tpu.modules.common import col
 from pdp_solver_tpu.ops.segment import (
     segment_argmax_first, segment_max, segment_max_shifted)
-from pdp_solver_tpu.ops import safe_exp, segment_sum
+from pdp_solver_tpu.ops import safe_exp, safe_log, segment_sum
+from pdp_solver_tpu.ops.segment import LOG_EPS_SCORE
 from pdp_solver_tpu.problem.simplify import fused_set_variables
 from pdp_solver_tpu.problem.state import ProblemState
 
@@ -128,6 +129,24 @@ def _smax_pass4(gathered, edge_vals):
     return (diff * cd, cd, eta * ce, ce), ()
 
 
+def _smax_scorer_pass(gathered, edge_vals):
+    """_smax_pass4 PLUS the survey scorer's four aggregation columns
+    (predict.py _scorer_pass), one edge->var reduce: the scorer reads the
+    same surveys the convergence test just streamed, so fusing them saves
+    a full pass over the messages per decimation iteration."""
+    (ac_e,) = gathered
+    prev_eta, eta, em, bmask, force, sign = edge_vals
+    diff = jnp.abs(prev_eta - eta) * em
+    cd = safe_exp(30.0 * diff) * bmask
+    ce = safe_exp(30.0 * eta) * bmask
+    em_s = ac_e * bmask
+    fm1 = safe_log(1.0 - eta, LOG_EPS_SCORE) * em_s
+    pos_w = jnp.where(sign == 1, 1.0, 0.0)
+    neg_w = jnp.where(sign == -1, 1.0, 0.0)
+    return (diff * cd, cd, eta * ce, ce,
+            force * bmask, fm1 * pos_w, fm1 * neg_w, fm1), ()
+
+
 class SeqDecimatorState(NamedTuple):
     prev_eta: jnp.ndarray   # f32[E] - previous clause->var survey
     counters: jnp.ndarray   # f32[B] - iterations since last decimation
@@ -156,7 +175,8 @@ def sequential_decimator_apply(cfg: SeqDecimatorConfig,
                                message_state,
                                problem: ProblemState,
                                edge_mask,
-                               active_instances):
+                               active_instances,
+                               scorer_tail_fn: Callable = None):
     """Reference pdp_decimate.py:122-177, fully on-device.
 
     Per iteration: (1) paramagnetic early-stop - zero the instance's active
@@ -180,7 +200,25 @@ def sequential_decimator_apply(cfg: SeqDecimatorConfig,
     # columns ride ONE edge->var reduce and both instance maxes ride one
     # [V,2] segment_max (the chip is reduce-bound; see docs/PERFORMANCE.md).
     from pdp_solver_tpu.problem.simplify import _use_fused_kernel
-    if _use_fused_kernel(batch):
+    scorer_agg = None
+    use_kernel = _use_fused_kernel(batch)
+    classical = isinstance(fn_part, tuple)
+    if (use_kernel and classical and scorer_tail_fn is not None
+            and active_instances is not None):
+        # combined reduce: convergence smooth-max + paramagnetic columns
+        # AND the survey scorer's aggregation, one pass over the surveys
+        from pdp_solver_tpu.ops.pallas_fused import fused_edge_pass
+        nd8, _ = fused_edge_pass(
+            _smax_scorer_pass, node_cols=(problem.active_clauses,),
+            gather_ids=batch.edge_clause,
+            gather_uniform=batch.clause_width,
+            edge_cols=(seq_state.prev_eta, eta, edge_mask,
+                       batch.edge_mask, fn_part[1], batch.edge_sign),
+            reduce_ids=batch.edge_var, num_segments=batch.num_vars,
+            n_red=8, interpret=jax.default_backend() != "tpu")
+        nd = nd8[:4]
+        scorer_agg = nd8[4:]
+    elif use_kernel:
         from pdp_solver_tpu.ops.pallas_fused import fused_edge_pass
         f = (_smax_pass4 if active_instances is not None else _smax_pass2)
         nd, _ = fused_edge_pass(
@@ -225,7 +263,10 @@ def sequential_decimator_apply(cfg: SeqDecimatorConfig,
     flag_b = flag_b * gate
 
     # (3) greedy decimation (pdp_decimate.py:152-171)
-    score = scorer_fn(message_state, problem)[:, 0]          # [V]
+    if scorer_agg is not None:
+        score = scorer_tail_fn(scorer_agg)[:, 0]             # [V]
+    else:
+        score = scorer_fn(message_state, problem)[:, 0]      # [V]
     coeff = jnp.abs(score) * problem.active_vars * flag_b[batch.var_batch]
     max_ind = segment_argmax_first(coeff, batch.var_batch, B,
                                    valid=batch.var_mask,

@@ -139,6 +139,14 @@ def survey_scorer_apply(params, cfg: SurveyScorerConfig, batch: FGBatch,
         # stacked four-column reduction (1-D columns - no [E,4] relayout)
         agg = common.scatter_to_vars_cols(
             batch, (force1, fm1 * pos_w, fm1 * neg_w, fm1))
+    return survey_scorer_tail(cfg, agg), None
+
+
+def survey_scorer_tail(cfg: SurveyScorerConfig, agg):
+    """Variable-level conclusion of the survey scorer from its 4
+    aggregation columns [4, V] (force / positive / negative / don't-care).
+    Shared by survey_scorer_apply and the decimator's combined
+    convergence+scorer reduce (modules/decimate.py)."""
     external_force = jnp.sign(agg[0])[:, None]
     pos = agg[1][:, None] + safe_log(
         1.0 - cfg.pi * (external_force == 1).astype(jnp.float32),
@@ -161,9 +169,8 @@ def survey_scorer_apply(params, cfg: SurveyScorerConfig, batch: FGBatch,
     q_1 = safe_exp(neg) - safe_exp(pns)
     total = safe_log(q_0 + q_1 + dont_care, LOG_EPS_SCORE)
 
-    score = (safe_exp(safe_log(q_1, LOG_EPS_SCORE) - total)
-             - safe_exp(safe_log(q_0, LOG_EPS_SCORE) - total))
-    return score, None
+    return (safe_exp(safe_log(q_1, LOG_EPS_SCORE) - total)
+            - safe_exp(safe_log(q_0, LOG_EPS_SCORE) - total))
 
 
 def reinforce_predictor_apply(batch: FGBatch, dec_state):

@@ -283,6 +283,14 @@ class PDPSolver:
             fn = None
         return fn
 
+    def _scorer_tail_fn(self):
+        """V-level scorer conclusion for the decimator's combined
+        convergence+scorer reduce (classical survey scorer only)."""
+        if self._t == "p-d-p" and not self.scorer_cfg.include_adaptors:
+            cfg = self.scorer_cfg
+            return lambda agg: P.survey_scorer_tail(cfg, agg)  # [V, 1]
+        return None
+
     def _propagate(self, params, rng, batch, prop, dec, em, ae, is_training,
                    meta_e=None):
         t = self._t
@@ -413,6 +421,7 @@ class PDPSolver:
         """The hot loop (reference solver.py:355-386)."""
         t = self._t
         scorer_fn = self._scorer_fn(params, batch)
+        scorer_tail = self._scorer_tail_fn()
         if resume is not None:
             active0, em0 = resume
         else:
@@ -434,7 +443,8 @@ class PDPSolver:
             elif t in ("np-d-np", "p-d-p"):
                 aux, problem, maybe_active = D.sequential_decimator_apply(
                     self.dec_cfg, scorer_fn, batch, state.aux, prop, problem,
-                    em, active_b if check_termination else None)
+                    em, active_b if check_termination else None,
+                    scorer_tail_fn=scorer_tail)
                 if check_termination:
                     active_b = maybe_active
                 if is_training:
