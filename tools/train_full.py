@@ -85,7 +85,13 @@ def main():
     val_gen = UniformCNFGenerator(6, 20, 3, 3, 2.0, 3.0, seed=123)
     val_batch = pack_instances([val_gen.generate() for _ in range(64)])
 
-    trainer = SatTrainer(CFG, seed=0)
+    # TRAIN_LR overrides the recipe's learning rate (e.g. a lower-lr
+    # fine-tune from the best checkpoint after the constant-lr phase
+    # plateaus; the reference recipe itself has no schedule)
+    cfg = dict(CFG)
+    if os.environ.get("TRAIN_LR"):
+        cfg["learning_rate"] = float(os.environ["TRAIN_LR"])
+    trainer = SatTrainer(cfg, seed=0)
     ts = trainer.init_train_state()
     start_step = 0
     if (os.environ.get("TRAIN_RESUME", "1") != "0"
