@@ -1,0 +1,114 @@
+"""Fault-tolerant solving: chunked resumable forward with retry + disk
+checkpointing.
+
+The reference recovers from nothing - a CUDA fault kills the run
+(src/pdp/trainer.py has no retry path); its only resilience is the
+trainer's per-epoch `last` checkpoint. On the tunneled TPU, device faults
+are a fact of life for very long programs, so the solver exposes a
+resumable carry (`PDPSolver.forward(carry=..., finalize=False)`,
+solvers/base.py) and this module builds the production loop on top of it:
+
+  * the iteration budget runs in bounded chunks (one compiled program per
+    chunk size - long budgets never produce a single long-running program,
+    which can crash tunneled workers);
+  * after every chunk the carry is mirrored to host memory; if the device
+    faults mid-chunk, the chunk size is halved and the solve resumes from
+    the last good carry (re-uploaded from the host mirror) instead of
+    restarting from zero;
+  * optionally the mirror is persisted to disk, so even a killed process
+    resumes where it left off (`checkpoint_path=`).
+
+bench.py uses the same chunking/retry discipline inline; this is the
+library-grade version.
+"""
+
+import os
+import pickle
+
+import jax
+import numpy as np
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def resilient_solve(solver, params, rng, batch, init_state, iterations, *,
+                    chunk=100, min_chunk=10, checkpoint_path=None,
+                    check_termination=True):
+    """Run a full solve of `iterations` decimation iterations, chunked and
+    fault-tolerant. Returns (var_pred, final_state).
+
+    chunk: iterations per compiled program execution (0 disables chunking).
+    min_chunk: smallest chunk to retry with after a device fault.
+    checkpoint_path: optional path; progress is pickled there after every
+        chunk and reloaded on the next call (delete the file to restart).
+    """
+    if chunk <= 0:
+        chunk = iterations
+
+    def step(r, b, s, carry, n):
+        _, s2, carry2 = solver.forward(
+            params, r, b, s, n, is_training=False,
+            check_termination=check_termination, carry=carry,
+            finalize=False)
+        return s2, carry2
+
+    def final(r, b, s, carry):
+        (pred, _), _ = solver.forward(
+            params, r, b, s, 0, is_training=False,
+            check_termination=check_termination, carry=carry,
+            finalize=True)
+        return pred
+
+    first_fn = jax.jit(lambda r, b, s, n: step(r, b, s, None, n),
+                       static_argnames="n")
+    next_fn = jax.jit(step, static_argnames="n")
+    final_fn = jax.jit(final)
+
+    done = 0
+    state = init_state
+    carry = None
+    host_mirror = None
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        with open(checkpoint_path, "rb") as f:
+            saved = pickle.load(f)
+        done = saved["done"]
+        state = jax.device_put(saved["state"])
+        carry = jax.device_put(saved["carry"])
+        host_mirror = (saved["state"], saved["carry"])
+
+    while done < iterations:
+        rng, r = jax.random.split(rng)
+        n = min(chunk, iterations - done)
+        try:
+            if carry is None:
+                state, carry = first_fn(r, batch, state, n)
+            else:
+                state, carry = next_fn(r, batch, state, carry, n)
+            # force completion so a device fault surfaces HERE, while the
+            # last good carry is still intact on the host
+            host_mirror = (_to_host(state), _to_host(carry))
+        except Exception:
+            if chunk <= min_chunk:
+                raise
+            chunk = max(chunk // 2, min_chunk)
+            if host_mirror is not None:
+                state = jax.device_put(host_mirror[0])
+                carry = jax.device_put(host_mirror[1])
+            else:
+                carry = None  # fault in the very first chunk: restart it
+            continue
+        done += n
+        if checkpoint_path:
+            tmp = checkpoint_path + ".tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump({"done": done, "state": host_mirror[0],
+                             "carry": host_mirror[1]}, f)
+            os.replace(tmp, checkpoint_path)
+
+    rng, r = jax.random.split(rng)
+    pred = final_fn(r, batch, state, carry)
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        os.remove(checkpoint_path)
+    return pred, state
