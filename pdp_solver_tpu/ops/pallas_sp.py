@@ -159,10 +159,10 @@ def _make_sp_call(E_pad, NP, k, tile, sub, pi, login, interpret):
 
 
 def use_sp_sweep(batch) -> bool:
-    from pdp_solver_tpu.ops.pallas_fused import use_fused_pass
-    return bool(use_fused_pass(batch)
-                and _pick_tiles(batch.clause_width) is not None
-                and batch.clause_width > 0)
+    # same layout contract as the chained passes (uniform clause width,
+    # windowed var ids) - delegate so the eligibility rule lives once
+    from pdp_solver_tpu.ops.pallas_fused import use_chained_pass
+    return use_chained_pass(batch)
 
 
 def sp_full_sweep(*, gather_ids, clause_width, num_vars,

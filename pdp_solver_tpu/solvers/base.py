@@ -544,19 +544,27 @@ class PDPSolver:
             use_walksat_mega, walksat_block, walksat_edge_constants)
         mega_mode = os.environ.get("PDP_WALKSAT_MEGA", "auto")
         K = int(os.environ.get("PDP_WALKSAT_K", "8"))
+        # isinstance check: a traced iteration count (public local_search
+        # under jit with a dynamic budget) cannot take the mega path - the
+        # block count must be static - but must keep working via the
+        # while_loop below, whose cond accepts tracers
         use_mega = (use_chained and use_walksat_mega(batch)
                     and mega_mode != "off"
                     and (mega_mode == "on"
                          or jax.default_backend() == "tpu")
-                    and iters >= K > 1)
+                    and isinstance(iters, int) and iters >= K > 1)
 
         not_done0 = jnp.sum(batch.instance_mask) < 0
         it0 = jnp.sum(batch.instance_mask).astype(jnp.int32) * 0
 
-        def block_done(energy):
-            unsat_b = ((energy > 0).astype(jnp.float32)
+        def block_done(energy_b):
+            """Done flag from per-instance unsat counts (shared by the
+            mega-kernel block loop and the per-iteration loop)."""
+            unsat_b = ((energy_b > 0).astype(jnp.float32)
                        * batch.instance_mask)
             if replication > 1:
+                # an original instance is finished once ANY replica solves
+                # it (reference solver.py:446-449)
                 solved_any = _group_any(1.0 - unsat_b, replication)
                 return jnp.sum((1.0 - solved_any)
                                * batch.instance_mask) <= 0.0
@@ -667,14 +675,7 @@ class PDPSolver:
                 energy_b = segment_sum(unsat_f, batch.clause_batch, B,
                                        indices_are_sorted=True)
             unsat_b = (energy_b > 0).astype(jnp.float32) * batch.instance_mask
-            if replication > 1:
-                # an original instance is finished once ANY replica solves it
-                # (reference solver.py:446-449)
-                solved_any = _group_any(1.0 - unsat_b, replication)
-                done = jnp.sum((1.0 - solved_any)
-                               * batch.instance_mask) <= 0.0
-            else:
-                done = jnp.sum(unsat_b) <= 0.0
+            done = block_done(energy_b)
 
             # critical edges: the clause is decided solely by this literal
             if use_chained:

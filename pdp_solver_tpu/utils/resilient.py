@@ -69,7 +69,10 @@ def resilient_solve(solver, params, rng, batch, init_state, iterations, *,
     done = 0
     state = init_state
     carry = None
-    host_mirror = None
+    # mirror the INITIAL state too: a device fault in the very first chunk
+    # surfaces after `state` was already rebound to the faulted execution's
+    # output buffers, so the retry must rebuild it from a host copy
+    host_mirror = (_to_host(init_state), None)
     if checkpoint_path and os.path.exists(checkpoint_path):
         with open(checkpoint_path, "rb") as f:
             saved = pickle.load(f)
@@ -93,11 +96,9 @@ def resilient_solve(solver, params, rng, batch, init_state, iterations, *,
             if chunk <= min_chunk:
                 raise
             chunk = max(chunk // 2, min_chunk)
-            if host_mirror is not None:
-                state = jax.device_put(host_mirror[0])
-                carry = jax.device_put(host_mirror[1])
-            else:
-                carry = None  # fault in the very first chunk: restart it
+            state = jax.device_put(host_mirror[0])
+            carry = (None if host_mirror[1] is None
+                     else jax.device_put(host_mirror[1]))
             continue
         done += n
         if checkpoint_path:

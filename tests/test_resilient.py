@@ -70,6 +70,15 @@ def test_fault_mid_solve_recovers_from_last_carry():
     assert faulty._calls > 2  # it kept going after the injected fault
 
 
+def test_fault_in_first_chunk_recovers_from_init_state():
+    batch, solver, state = _mk(seed=3)
+    faulty = _FaultySolver(solver, fault_on=1)   # fault before ANY progress
+    pred, _ = resilient_solve(faulty, {}, jax.random.PRNGKey(2), batch,
+                              state, 20, chunk=10, min_chunk=2)
+    assert pred.shape == (batch.num_vars, 1)
+    assert _solved(batch, pred) >= 2
+
+
 def test_checkpoint_resume_roundtrip(tmp_path):
     batch, solver, state = _mk(seed=2)
     ck = str(tmp_path / "solve.ck")

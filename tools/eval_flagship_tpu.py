@@ -18,6 +18,7 @@ using the chip.
 Usage:  PYTHONPATH=/root/repo:$PYTHONPATH python tools/eval_flagship_tpu.py
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -33,6 +34,7 @@ from pdp_solver_tpu.fg.batch import pack_instances
 from pdp_solver_tpu.train.loss import cnf_evaluate
 from pdp_solver_tpu.train.trainer import SatTrainer
 from pdp_solver_tpu.utils.benchdata import make_ksat_set
+from pdp_solver_tpu.utils.resilient import resilient_solve
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from train_full import CFG  # noqa: E402
@@ -40,44 +42,18 @@ from train_full import CFG  # noqa: E402
 
 def solved_fraction_chunked(solver, params, batch, iters, ls_iters,
                             chunk, seed=7):
-    """Fraction solved, chunked resumable forward + verified prediction."""
+    """Fraction solved via the fault-tolerant chunked solve
+    (utils/resilient.py) + verified prediction."""
     if ls_iters:
-        solver = type(solver)(solver.cfg.__class__(
-            **{**solver.cfg.__dict__, "local_search_iterations": ls_iters}))
-    rng = jax.random.PRNGKey(seed)
-    r_s, r_f = jax.random.split(rng)
+        solver = type(solver)(dataclasses.replace(
+            solver.cfg, local_search_iterations=ls_iters))
+    r_s, r_f = jax.random.split(jax.random.PRNGKey(seed))
     state = solver.get_init_state(r_s, batch, randomized=True)
-
-    def step(r, b, s, carry, n):
-        _, s, carry = solver.forward(
-            {} if params is None else params, r, b, s, n,
-            is_training=False, check_termination=True,
-            carry=carry, finalize=False)
-        return s, carry
-
-    def final(r, b, s, carry):
-        (pred, _), _ = solver.forward(
-            {} if params is None else params, r, b, s, 0,
-            is_training=False, check_termination=True,
-            carry=carry, finalize=True)
-        solved, _ = cnf_evaluate(b, pred)
-        return solved
-
-    first = jax.jit(lambda r, b, s, n: step(r, b, s, None, n),
-                    static_argnames="n")
-    nxt = jax.jit(step, static_argnames="n")
-    fin = jax.jit(final)
-
     t0 = time.time()
-    carry = None
-    done = 0
-    while done < iters:
-        r_f, r = jax.random.split(r_f)
-        n = min(chunk, iters - done)
-        state, carry = (first(r, batch, state, n) if carry is None
-                        else nxt(r, batch, state, carry, n))
-        done += n
-    solved = fin(r_f, batch, state, carry)
+    pred, _ = resilient_solve(solver, {} if params is None else params,
+                              r_f, batch, state, iters, chunk=chunk)
+    # verify INSIDE jit - eager op-by-op execution faults on this backend
+    solved = jax.jit(lambda b, p: cnf_evaluate(b, p)[0])(batch, pred)
     mask = np.asarray(batch.instance_mask)
     frac = float((np.asarray(solved) * mask).sum() / mask.sum())
     return frac, time.time() - t0

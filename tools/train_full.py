@@ -19,6 +19,7 @@ sub-threshold 3-SAT set (n=100, alpha=3.5), each with and without WalkSAT.
 Usage: env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python tools/train_full.py
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -52,8 +53,8 @@ CFG = dict(
 def solved_fraction(trainer, batch, iters, ls_iters=0, seed=7, chunk=0):
     solver = trainer.solver
     if ls_iters:
-        solver = type(solver)(solver.cfg.__class__(
-            **{**solver.cfg.__dict__, "local_search_iterations": ls_iters}))
+        solver = type(solver)(dataclasses.replace(
+            solver.cfg, local_search_iterations=ls_iters))
     rng = jax.random.PRNGKey(seed)
     r_s, r_f = jax.random.split(rng)
     state = solver.get_init_state(r_s, batch, randomized=True)
