@@ -422,6 +422,15 @@ class PDPSolver:
         t = self._t
         scorer_fn = self._scorer_fn(params, batch)
         scorer_tail = self._scorer_tail_fn()
+        from pdp_solver_tpu.ops.pallas_verify import (
+            use_verify_masks, verify_and_masks)
+        import os
+        # opt-in: measured a WASH on chip (bench 12.6 -> 12.8 s wall) - the
+        # two-phase kernel re-streams the edge blocks, cancelling the
+        # saved launch; see the cost-model note in docs/PERFORMANCE.md
+        use_vm = (check_termination and replication == 1
+                  and use_verify_masks(batch)
+                  and os.environ.get("PDP_VERIFY_MASKS", "off") == "on")
         if resume is not None:
             active0, em0 = resume
         else:
@@ -471,6 +480,17 @@ class PDPSolver:
                 pred = self._predict(params, r_pr, batch, problem, dec, em,
                                      last_call=False, meta_e=meta_e)
                 var_pred, problem = _update_solution(problem, pred[0])
+                if use_vm:
+                    # verification + next masks in ONE launch: the kernel
+                    # freezes the instances this verification solved before
+                    # emitting ae (ops/pallas_verify.py)
+                    solved, _, em, ae = verify_and_masks(
+                        batch, problem, active_b, var_pred,
+                        interpret=jax.default_backend() != "tpu")
+                    active_b = (active_b
+                                * (solved <= 0.5).astype(jnp.float32))
+                    return (problem, SolverState(prop, dec, aux), active_b,
+                            em, ae, rng)
                 solved, _ = cnf_evaluate(batch, var_pred)
                 solved = _group_any(solved, replication)
                 active_b = active_b * (solved <= 0.5).astype(jnp.float32)
