@@ -92,12 +92,15 @@ def main():
     state = solver.get_init_state(r_state, batch, randomized=True)
 
     batch = jax.device_put(batch)
+    # the chunked programs are defined unconditionally (jit compiles
+    # lazily, so this is free): the mid-run retry path falls back to
+    # solve_chunked even when the original run was unchunked
+    first_fn = jax.jit(
+        lambda r, b, s, n: solve_step(r, b, s, None, n),
+        static_argnames="n")
+    step_fn = jax.jit(solve_step, static_argnames="n_iters")
+    final_fn = jax.jit(solve_final)
     if chunk > 0:
-        first_fn = jax.jit(
-            lambda r, b, s, n: solve_step(r, b, s, None, n),
-            static_argnames="n")
-        step_fn = jax.jit(solve_step, static_argnames="n_iters")
-        final_fn = jax.jit(solve_final)
         fwd = lambda r, b, s, n: solve_chunked(r, b, s, n, chunk)
     else:
         fwd = jax.jit(solve, static_argnames="n_iters")

@@ -258,7 +258,6 @@ def _use_fused_kernel(batch: FGBatch) -> bool:
 
 def _fused_round(batch: FGBatch, state: ProblemState):
     """One combined unit-prop + peel + satisfied-removal round."""
-    B = batch.batch_size
     use_kernel = _use_fused_kernel(batch)
 
     from pdp_solver_tpu.ops.pallas_fused import use_chained_pass

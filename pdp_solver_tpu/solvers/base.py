@@ -364,8 +364,19 @@ class PDPSolver:
                 graph_feat = jnp.tile(graph_feat, (replication, 1))
         if graph_feat is None and batch.graph_feat.shape[1] > 0:
             # dataset-supplied per-instance meta features (batch.graph_feat
-            # is already replicated by replicate_batch)
-            graph_feat = batch.graph_feat
+            # is already replicated by replicate_batch). Only injected when
+            # the model actually declares a meta width: a meta-carrying
+            # dataset must remain usable with non-meta configs (the
+            # reference gates on has_meta_data the same way), and a width
+            # mismatch would otherwise surface as an opaque matmul shape
+            # error inside the aggregator
+            md = batch.graph_feat.shape[1]
+            if self.cfg.meta_dim > 0:
+                if md != self.cfg.meta_dim:
+                    raise ValueError(
+                        f"dataset meta feature width {md} != configured "
+                        f"meta_feature_dim {self.cfg.meta_dim}")
+                graph_feat = batch.graph_feat
         if graph_feat is None and self.cfg.meta_dim > 0:
             # configs may declare meta_feature_dim > 0 against datasets with
             # no meta column (several reference YAMLs do); zero features keep

@@ -50,6 +50,22 @@ CFG = dict(
     local_search_iteration=0, epsilon=0.5, **{"lambda": 1.0})
 
 
+_FWD_JIT = {}
+
+
+def _forward_jit(solver, iters):
+    """One jitted forward per (config, budget): a fresh jax.jit(lambda)
+    per call would recompile the whole unrolled forward at every
+    periodic eval."""
+    key = (solver.cfg, iters)
+    if key not in _FWD_JIT:
+        _FWD_JIT[key] = jax.jit(
+            lambda p, r, b, s: solver.forward(
+                p, r, b, s, iters, is_training=False,
+                check_termination=True))
+    return _FWD_JIT[key]
+
+
 def solved_fraction(trainer, batch, iters, ls_iters=0, seed=7, chunk=0):
     solver = trainer.solver
     if ls_iters:
@@ -58,10 +74,8 @@ def solved_fraction(trainer, batch, iters, ls_iters=0, seed=7, chunk=0):
     rng = jax.random.PRNGKey(seed)
     r_s, r_f = jax.random.split(rng)
     state = solver.get_init_state(r_s, batch, randomized=True)
-    (pred, _), _ = jax.jit(
-        lambda p, r, b, s: solver.forward(
-            p, r, b, s, iters, is_training=False, check_termination=True)
-    )(trainer.params, r_f, batch, state)
+    (pred, _), _ = _forward_jit(solver, iters)(
+        trainer.params, r_f, batch, state)
     solved, _ = cnf_evaluate(batch, pred)
     mask = np.asarray(batch.instance_mask)
     return float((np.asarray(solved) * mask).sum() / mask.sum())
@@ -95,10 +109,12 @@ def main():
     trainer = SatTrainer(cfg, seed=0)
     ts = trainer.init_train_state()
     start_step = 0
+    resumed = False
     if (os.environ.get("TRAIN_RESUME", "1") != "0"
             and os.path.exists(os.path.join(
                 last_dir, CFG["model_name"] + ".npz"))):
         ts = trainer._load_train_state(ts, last_dir)
+        resumed = True
         start_step = int(os.environ.get("TRAIN_RESUME_STEP", "0"))
         print(f"resumed from {last_dir} (global_step "
               f"{float(ts.global_step):.0f}, counting from {start_step})",
@@ -115,7 +131,10 @@ def main():
     # best-val watermark is persisted next to the best checkpoint
     best = -1.0
     best_meta = os.path.join(best_dir, "best_val.json")
-    if start_step and os.path.exists(best_meta):
+    # keyed on the resume actually happening (not on TRAIN_RESUME_STEP
+    # being set): a default resumed run must not reset the watermark and
+    # let its first eval clobber a better best checkpoint
+    if resumed and os.path.exists(best_meta):
         with open(best_meta) as f:
             best = float(json.load(f)["val_solved"])
         print(f"best-val watermark {best:.3f}", flush=True)
