@@ -77,3 +77,34 @@ def test_meta_dim_without_dataset_meta_uses_zeros():
     (pred, _), _ = solver.forward(params, key, batch, state, 2,
                                   is_training=False)
     assert np.all(np.isfinite(np.asarray(pred)))
+
+
+def test_meta_dataset_with_non_meta_config_is_ignored():
+    # a meta-carrying dataset must stay usable with configs that declare no
+    # meta width (previously crashed inside an aggregator matmul)
+    batch = pack_instances(_meta_instances())
+    assert batch.graph_feat.shape[1] == 2
+    solver = PDPSolver(SolverConfig(model_type="np-nd-np", meta_dim=0,
+                                    hidden_dim=8, mem_hidden_dim=4,
+                                    agg_hidden_dim=4, mem_agg_hidden_dim=4,
+                                    classifier_dim=4))
+    key = jax.random.PRNGKey(0)
+    params = solver.init_params(key)
+    state = solver.get_init_state(key, batch, randomized=False)
+    (pred, _), _ = solver.forward(params, key, batch, state, 2,
+                                  is_training=False)
+    assert np.all(np.isfinite(np.asarray(pred)))
+
+
+def test_meta_width_mismatch_raises():
+    import pytest
+    batch = pack_instances(_meta_instances())    # width 2
+    solver = PDPSolver(SolverConfig(model_type="np-nd-np", meta_dim=3,
+                                    hidden_dim=8, mem_hidden_dim=4,
+                                    agg_hidden_dim=4, mem_agg_hidden_dim=4,
+                                    classifier_dim=4))
+    key = jax.random.PRNGKey(0)
+    params = solver.init_params(key)
+    state = solver.get_init_state(key, batch, randomized=False)
+    with pytest.raises(ValueError, match="meta feature width"):
+        solver.forward(params, key, batch, state, 1, is_training=False)
