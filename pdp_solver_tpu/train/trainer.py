@@ -239,8 +239,23 @@ class SatTrainer:
 
     def _run_batch(self, batch, replication):
         c = self._config
-        fwd = self._forward_fn(int(c.get("test_recurrence_num", 1000)),
-                               replication)
+        iters = int(c.get("test_recurrence_num", 1000))
+        # long budgets run through the fault-tolerant chunked solve: a
+        # single monolithic program of e.g. the reference's 8800-iteration
+        # predict budget can crash tunneled TPU workers. PDP_SOLVE_CHUNK
+        # overrides (0 = monolithic); replication composes with the carry
+        # only if the caller replicates, so replicated runs stay monolithic
+        default_chunk = "100" if jax.default_backend() == "tpu" else "0"
+        chunk = int(os.environ.get("PDP_SOLVE_CHUNK", default_chunk))
+        if chunk > 0 and replication == 1 and iters > chunk:
+            from pdp_solver_tpu.utils.resilient import resilient_solve
+            r_state, r_fwd = jax.random.split(self._next_rng())
+            state = self.solver.get_init_state(r_state, batch,
+                                               randomized=True)
+            var_pred, _ = resilient_solve(self.solver, self.params, r_fwd,
+                                          batch, state, iters, chunk=chunk)
+            return var_pred
+        fwd = self._forward_fn(iters, replication)
         r_state, r_fwd = jax.random.split(self._next_rng())
         state = self.solver.get_init_state(r_state, batch, randomized=True,
                                            replication=replication)

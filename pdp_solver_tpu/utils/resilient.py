@@ -33,6 +33,39 @@ def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _solver_fns(solver, check_termination):
+    """Jitted step/final programs, cached ON the solver object so their
+    lifetime tracks it (callers like the trainer invoke resilient_solve
+    once per batch - rebuilding jax.jit wrappers there would recompile;
+    a module-level cache would leak, since the jitted closures reference
+    the solver)."""
+    per_solver = getattr(solver, "_resilient_fns", None)
+    if per_solver is None:
+        per_solver = {}
+        solver._resilient_fns = per_solver
+    if check_termination not in per_solver:
+        def step(params, r, b, s, carry, n):
+            _, s2, carry2 = solver.forward(
+                params, r, b, s, n, is_training=False,
+                check_termination=check_termination, carry=carry,
+                finalize=False)
+            return s2, carry2
+
+        def final(params, r, b, s, carry):
+            (pred, _), _ = solver.forward(
+                params, r, b, s, 0, is_training=False,
+                check_termination=check_termination, carry=carry,
+                finalize=True)
+            return pred
+
+        per_solver[check_termination] = (
+            jax.jit(lambda p, r, b, s, n: step(p, r, b, s, None, n),
+                    static_argnames="n"),
+            jax.jit(step, static_argnames="n"),
+            jax.jit(final))
+    return per_solver[check_termination]
+
+
 def resilient_solve(solver, params, rng, batch, init_state, iterations, *,
                     chunk=100, min_chunk=10, checkpoint_path=None,
                     check_termination=True):
@@ -47,24 +80,7 @@ def resilient_solve(solver, params, rng, batch, init_state, iterations, *,
     if chunk <= 0:
         chunk = iterations
 
-    def step(r, b, s, carry, n):
-        _, s2, carry2 = solver.forward(
-            params, r, b, s, n, is_training=False,
-            check_termination=check_termination, carry=carry,
-            finalize=False)
-        return s2, carry2
-
-    def final(r, b, s, carry):
-        (pred, _), _ = solver.forward(
-            params, r, b, s, 0, is_training=False,
-            check_termination=check_termination, carry=carry,
-            finalize=True)
-        return pred
-
-    first_fn = jax.jit(lambda r, b, s, n: step(r, b, s, None, n),
-                       static_argnames="n")
-    next_fn = jax.jit(step, static_argnames="n")
-    final_fn = jax.jit(final)
+    first_fn, next_fn, final_fn = _solver_fns(solver, check_termination)
 
     done = 0
     state = init_state
@@ -86,9 +102,9 @@ def resilient_solve(solver, params, rng, batch, init_state, iterations, *,
         n = min(chunk, iterations - done)
         try:
             if carry is None:
-                state, carry = first_fn(r, batch, state, n)
+                state, carry = first_fn(params, r, batch, state, n)
             else:
-                state, carry = next_fn(r, batch, state, carry, n)
+                state, carry = next_fn(params, r, batch, state, carry, n)
             # force completion so a device fault surfaces HERE, while the
             # last good carry is still intact on the host
             host_mirror = (_to_host(state), _to_host(carry))
@@ -109,7 +125,7 @@ def resilient_solve(solver, params, rng, batch, init_state, iterations, *,
             os.replace(tmp, checkpoint_path)
 
     rng, r = jax.random.split(rng)
-    pred = final_fn(r, batch, state, carry)
+    pred = final_fn(params, r, batch, state, carry)
     if checkpoint_path and os.path.exists(checkpoint_path):
         os.remove(checkpoint_path)
     return pred, state
