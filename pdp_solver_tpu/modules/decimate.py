@@ -166,6 +166,16 @@ def seq_decimator_init_state(batch, replication=1):
 class SeqDecimatorConfig:
     tolerance: float
     t_max: float
+    # Multi-variable decimation: when < 1, every converged instance fixes ALL
+    # active variables whose |score| >= decimation_threshold * its max
+    # |score| (classical SP decimates a top fraction per convergence round);
+    # at the default 1.0 only the single argmax variable is fixed, exactly
+    # the reference's greedy rule (pdp_decimate.py:152-171).
+    decimation_threshold: float = 1.0
+    # end-game guard: instances whose active-variable count has dropped to
+    # <= decimation_guard fall back to the argmax-only rule, where single
+    # careful steps matter most (0 = multi-variable all the way down)
+    decimation_guard: float = 0.0
 
 
 def sequential_decimator_apply(cfg: SeqDecimatorConfig,
@@ -268,20 +278,44 @@ def sequential_decimator_apply(cfg: SeqDecimatorConfig,
     else:
         score = scorer_fn(message_state, problem)[:, 0]      # [V]
     coeff = jnp.abs(score) * problem.active_vars * flag_b[batch.var_batch]
-    max_ind = segment_argmax_first(coeff, batch.var_batch, B,
-                                   valid=batch.var_mask,
+    if cfg.decimation_threshold < 1.0:
+        # fix every active variable within the threshold band of the
+        # instance max (one reduce replaces the argmax + sum pair)
+        max_b = segment_max_shifted(coeff, batch.var_batch, B,
+                                    valid=batch.var_mask,
+                                    indices_are_sorted=True)
+        theta_b = jnp.full((B,), cfg.decimation_threshold, jnp.float32)
+        if cfg.decimation_guard > 0:
+            # argmax-only end-game: band threshold 1.0 once few active vars
+            # remain (float scores make exact band ties vanishingly rare,
+            # so >= max_b selects the single max like the argmax rule)
+            active_n = segment_sum(problem.active_vars * batch.var_mask,
+                                   batch.var_batch, B,
                                    indices_are_sorted=True)
-    norm_b = segment_sum(coeff, batch.var_batch, B,
-                         indices_are_sorted=True)
+            theta_b = jnp.where(active_n > cfg.decimation_guard, theta_b,
+                                1.0)
+        decimate_b = flag_b * (max_b > 0).astype(jnp.float32)
+        if active_instances is not None:
+            decimate_b = decimate_b * active_instances
+        sel = jnp.logical_and(
+            coeff >= theta_b[batch.var_batch] * max_b[batch.var_batch],
+            jnp.logical_and(coeff > 0, decimate_b[batch.var_batch] > 0))
+        assignment = jnp.where(sel, jnp.sign(score), 0.0)
+    else:
+        max_ind = segment_argmax_first(coeff, batch.var_batch, B,
+                                       valid=batch.var_mask,
+                                       indices_are_sorted=True)
+        norm_b = segment_sum(coeff, batch.var_batch, B,
+                             indices_are_sorted=True)
 
-    decimate_b = flag_b * (norm_b != 0).astype(jnp.float32)
-    if active_instances is not None:
-        decimate_b = decimate_b * active_instances
+        decimate_b = flag_b * (norm_b != 0).astype(jnp.float32)
+        if active_instances is not None:
+            decimate_b = decimate_b * active_instances
 
-    sel = jnp.logical_and(
-        jnp.arange(V, dtype=jnp.int32) == max_ind[batch.var_batch],
-        decimate_b[batch.var_batch] > 0)
-    assignment = jnp.where(sel, jnp.sign(score), 0.0)
+        sel = jnp.logical_and(
+            jnp.arange(V, dtype=jnp.int32) == max_ind[batch.var_batch],
+            decimate_b[batch.var_batch] > 0)
+        assignment = jnp.where(sel, jnp.sign(score), 0.0)
 
     problem = jax.lax.cond(
         jnp.sum(decimate_b) > 0,

@@ -58,6 +58,12 @@ class SolverConfig:
     t_max: float = 100.0
     pi: float = 0.0
     decimation_probability: float = 0.5
+    # sequential decimator: fix all vars within this fraction of the
+    # per-instance max |score| per convergence event (1.0 = argmax only,
+    # the reference rule); see modules/decimate.py SeqDecimatorConfig
+    decimation_threshold: float = 1.0
+    # argmax-only end-game once an instance's active-var count <= guard
+    decimation_guard: float = 0.0
     local_search_iterations: int = 0
     epsilon: float = 0.05
     # 'bfloat16' runs the neural aggregator/GRU/classifier compute in bf16
@@ -167,8 +173,10 @@ class PDPSolver:
                 hidden_dim=c.hidden_dim, edge_dim=c.edge_dim,
                 dropout=c.dropout, compute_dtype=c.compute_dtype)
         elif t in ("np-d-np", "p-d-p"):
-            self.dec_cfg = D.SeqDecimatorConfig(tolerance=c.tolerance,
-                                                t_max=c.t_max)
+            self.dec_cfg = D.SeqDecimatorConfig(
+                tolerance=c.tolerance, t_max=c.t_max,
+                decimation_threshold=c.decimation_threshold,
+                decimation_guard=c.decimation_guard)
         elif t == "reinforce":
             self.dec_cfg = D.ReinforceDecimatorConfig(
                 decimation_probability=c.decimation_probability)
@@ -780,6 +788,8 @@ def build_solver(config) -> PDPSolver:
         t_max=float(c.get("t_max", 100)),
         pi=c.get("pi", 0.0),
         decimation_probability=c.get("decimation_probability", 0.5),
+        decimation_threshold=c.get("decimation_threshold", 1.0),
+        decimation_guard=c.get("decimation_guard", 0.0),
         local_search_iterations=c.get("local_search_iteration", 0),
         epsilon=c.get("epsilon", 0.05),
         compute_dtype=c.get("compute_dtype", "float32"),

@@ -149,3 +149,64 @@ def test_hybrid_solvers_with_walksat_solve_easy(rng):
         pred = _solve(solver, batch, iters=30)
         frac = _solved_fraction(batch, insts, clause_lists, pred)
         assert frac >= 0.75, f"{mt}: solved fraction {frac} too low"
+
+
+def test_multi_variable_decimation_solves_and_converges_faster(rng):
+    """decimation_threshold < 1 (fix every var within the threshold band of
+    the instance-max |score| per convergence event) must (a) fix MORE
+    variables per solver iteration than the argmax-only reference rule,
+    (b) terminate decimation in no more iterations, and (c) still produce
+    verified solutions on easy formulas (quality within local-search reach
+    of the argmax rule)."""
+    batch, clause_lists, insts = _make_batch(rng, 10, 40, 3.0)
+
+    def run(theta):
+        solver = PDPSolver(SolverConfig(
+            model_type="p-d-p", tolerance=0.02, t_max=100,
+            local_search_iterations=300, epsilon=0.5,
+            decimation_threshold=theta))
+        r_init, r_fwd = jax.random.split(jax.random.PRNGKey(3))
+        state = solver.get_init_state(r_init, batch, randomized=True)
+        # chunked solve so the active count and fixed-var count are
+        # observable between program executions
+        step = jax.jit(lambda r, b, s, c: solver.forward(
+            {}, r, b, s, 25, is_training=False, check_termination=True,
+            carry=c, finalize=False))
+        first = jax.jit(lambda r, b, s: solver.forward(
+            {}, r, b, s, 25, is_training=False, check_termination=True,
+            finalize=False))
+        final = jax.jit(lambda r, b, s, c: solver.forward(
+            {}, r, b, s, 0, is_training=False, check_termination=True,
+            carry=c, finalize=True))
+        carry = None
+        term = 12 * 25
+        fixed_after_25 = None
+        for i in range(12):
+            r = jax.random.fold_in(r_fwd, i)
+            if carry is None:
+                _, state, carry = first(r, batch, state)
+            else:
+                _, state, carry = step(r, batch, state, carry)
+            if fixed_after_25 is None:
+                problem = carry[0]
+                fixed_after_25 = float(jnp.sum(
+                    (1.0 - problem.active_vars) * batch.var_mask))
+            if float(jnp.sum(carry[1])) == 0:
+                term = (i + 1) * 25
+                break
+        (pred, _), _ = final(r_fwd, batch, state, carry)
+        frac = _solved_fraction(batch, insts, clause_lists,
+                                np.asarray(pred)[:, 0])
+        return frac, term, fixed_after_25
+
+    frac_multi, term_multi, fixed_multi = run(0.7)
+    frac_ref, term_ref, fixed_ref = run(1.0)
+    assert fixed_multi > fixed_ref, (
+        f"threshold rule fixed {fixed_multi} vars in 25 iterations vs "
+        f"argmax rule's {fixed_ref}")
+    assert term_multi <= term_ref, (
+        f"multi-decimation terminated in {term_multi} iters, argmax rule in "
+        f"{term_ref}")
+    assert frac_multi >= frac_ref - 0.3, (
+        f"multi-decimation solved {frac_multi} vs argmax {frac_ref}")
+    assert frac_multi >= 0.5, f"multi-decimation solved {frac_multi} too low"
