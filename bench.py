@@ -46,9 +46,15 @@ def main():
     count = len(insts)
     batch = pack_instances(insts)
 
+    # banded multi-variable decimation with an argmax end-game (measured on
+    # the shared set: solves as much as the reference argmax rule in ~1.5x
+    # less wall; tools/decimation_study.py, docs/PERFORMANCE.md)
+    theta = float(os.environ.get("BENCH_DEC_THETA", "0.7"))
+    guard = float(os.environ.get("BENCH_DEC_GUARD", "50"))
     solver = PDPSolver(SolverConfig(
         model_type="p-d-p", tolerance=0.02, t_max=100,
-        local_search_iterations=ls_iters, epsilon=0.5))
+        local_search_iterations=ls_iters, epsilon=0.5,
+        decimation_threshold=theta, decimation_guard=guard))
 
     def solve(rng, batch, state, n_iters):
         (pred, _), _ = solver.forward(
@@ -104,11 +110,30 @@ def main():
         fwd = lambda r, b, s, n: solve_chunked(r, b, s, n, chunk)
     else:
         fwd = jax.jit(solve, static_argnames="n_iters")
+
+    # progressive batch compaction (solvers/compact.py): solved instances
+    # are harvested and the live set repacked into smaller static buckets
+    # at chunk boundaries, so the late solve stops paying for finished
+    # instances. Deterministic given the rng key, so repeated runs hit the
+    # same bucket ladder (compiled once in the warm-up run).
+    use_compact = os.environ.get("BENCH_COMPACT", "1") != "0"
+    if use_compact:
+        from pdp_solver_tpu.solvers.compact import compacting_solve
+
+        def compact_run():
+            _, solved_list, stats = compacting_solve(
+                solver, {}, r_fwd, insts, iters,
+                ls_iterations=ls_iters, chunk=chunk or 50)
+            return sum(solved_list), stats
+
     # warm-up: compile every distinct program the timed run will execute,
-    # including the remainder-sized chunk when iters % chunk != 0 (a compile
-    # inside the timed region would inflate the wall time)
+    # including the remainder-sized chunk when iters % chunk != 0 and the
+    # compaction bucket ladder (a compile inside the timed region would
+    # inflate the wall time)
     t0 = time.time()
-    if chunk > 0:
+    if use_compact:
+        warm_solved, warm_stats = compact_run()
+    elif chunk > 0:
         st_w, carry_w = first_fn(r_fwd, batch, state, min(chunk, iters))
         if iters > chunk:
             st_w, carry_w = step_fn(r_fwd, batch, st_w, carry_w, chunk)
@@ -128,14 +153,19 @@ def main():
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     walls = []
     solved = 0
+    compact_stats = None
     for rep in range(max(repeats, 1)):
         try:
             t0 = time.time()
-            pred, solved_dev = fwd(r_fwd, batch, state, iters)
-            solved = int(solved_dev)
+            if use_compact:
+                solved, compact_stats = compact_run()
+            else:
+                pred, solved_dev = fwd(r_fwd, batch, state, iters)
+                solved = int(solved_dev)
             walls.append(time.time() - t0)
         except Exception:
             chunk = max(chunk // 2, 10) if chunk else 25
+            use_compact = False
             fwd = lambda r, b, s, n: solve_chunked(r, b, s, n, chunk)
             t0 = time.time()
             pred, solved_dev = fwd(r_fwd, batch, state, iters)
@@ -277,6 +307,10 @@ def main():
         "wall_s": round(wall, 3),
         "wall_samples_s": [round(w, 3) for w in walls],
         "phases": phases,
+        "compaction": (None if compact_stats is None else {
+            "ladder": compact_stats["compactions"],
+            "pdp_wall_s": compact_stats["pdp_wall_s"],
+            "ls_wall_s": compact_stats["ls_wall_s"]}),
         "warmup_s": round(compile_and_first, 1),
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),

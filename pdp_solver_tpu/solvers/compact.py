@@ -1,0 +1,305 @@
+"""Progressive batch compaction for long-budget solves.
+
+The solver's hot loop is shape-static: once an instance is solved (or its
+messages go paramagnetic) it stops contributing progress but keeps paying
+full per-iteration cost — at the benchmark operating point ~3/4 of all
+instance-iterations are spent on instances that are already finished.
+The reference has the same property (its mega-batch never shrinks,
+src/pdp/nn/solver.py:355-386); on a TPU the fix is TPU-shaped: at chunk
+boundaries, *repack* the still-active instances into a smaller static
+bucket (fg/batch.py bucket_dims) and remap the carried state into the new
+layout. Each bucket shape compiles once; the geometric bucket ladder
+bounds the number of distinct programs at O(log E).
+
+Pipeline (compacting_solve):
+  1. run the decimation loop in bounded chunks (the resumable
+     forward(carry=, finalize=False) API);
+  2. after each chunk, read the per-instance active/solved flags (one
+     small D2H transfer); harvest solutions of solved instances; park
+     instances that terminated unsolved (they get local search later);
+  3. when the surviving instances fit a strictly smaller edge bucket,
+     repack them and remap every E/V/F/B-indexed state array;
+  4. after the iteration budget: pack ALL unsolved instances (parked +
+     leftover active) and run the WalkSAT budget on that compact batch,
+     then harvest.
+
+State remapping is generic: every array leaf of the (state, carry) pytree
+is classified by its leading dimension against the batch's padded
+E/V/F/B dims (which bucket_dims keeps distinct in practice; remapping
+refuses ambiguous batches) and gathered slice-by-slice into the new
+layout, zero-filled on padding (every consumer masks padding).
+"""
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pdp_solver_tpu.fg.batch import FGBatch, pack_instances
+from pdp_solver_tpu.problem.state import ProblemState
+from pdp_solver_tpu.train.loss import cnf_evaluate
+
+
+def instance_slices(instances):
+    """Per-instance (v_off, f_off, e_off, n, m, e) in the packed layout.
+
+    pack_instances lays instances out back-to-back in order, each with a
+    deterministic clause-major edge order, so slices are recomputable from
+    the instance tuples alone."""
+    out = []
+    v = f = e = 0
+    for inst in instances:
+        n, m, ei = int(inst[0]), int(inst[1]), int(inst[2].shape[1])
+        out.append((v, f, e, n, m, ei))
+        v += n
+        f += m
+        e += ei
+    return out
+
+
+def _dim_maps(old_slices, keep, new_slices):
+    """(src_idx, dst_idx) gather maps for each of the four dims."""
+    maps = {}
+    for dim, (off_i, cnt_i) in {"V": (0, 3), "F": (1, 4), "E": (2, 5)}.items():
+        src, dst = [], []
+        for j, i in enumerate(keep):
+            o, c = old_slices[i][off_i], old_slices[i][cnt_i]
+            n_ = new_slices[j][off_i]
+            src.append(np.arange(o, o + c))
+            dst.append(np.arange(n_, n_ + c))
+        maps[dim] = (np.concatenate(src) if src else np.zeros(0, np.int64),
+                     np.concatenate(dst) if dst else np.zeros(0, np.int64))
+    maps["B"] = (np.asarray(keep, np.int64),
+                 np.arange(len(keep), dtype=np.int64))
+    return maps
+
+
+def remap_state(tree, keep, old_batch: FGBatch, new_batch: FGBatch,
+                old_slices, new_slices):
+    """Remap every array leaf of a state pytree from the old packed layout
+    to the new one (host-side numpy). Leaves are classified by leading
+    dimension; scalars pass through unchanged."""
+    old_dims = {"E": old_batch.num_edges, "V": old_batch.num_vars,
+                "F": old_batch.num_clauses, "B": old_batch.batch_size}
+    if len(set(old_dims.values())) != 4:
+        raise ValueError(
+            f"ambiguous packed dims {old_dims}: cannot classify state "
+            "arrays by leading dimension")
+    new_dims = {"E": new_batch.num_edges, "V": new_batch.num_vars,
+                "F": new_batch.num_clauses, "B": new_batch.batch_size}
+    by_old = {v: k for k, v in old_dims.items()}
+    maps = _dim_maps(old_slices, keep, new_slices)
+
+    def leaf(x):
+        x = np.asarray(x)
+        if x.ndim == 0 or x.shape[0] not in by_old:
+            return x
+        dim = by_old[x.shape[0]]
+        src, dst = maps[dim]
+        out = np.zeros((new_dims[dim],) + x.shape[1:], x.dtype)
+        out[dst] = x[src]
+        return out
+
+    return jax.tree_util.tree_map(leaf, tree)
+
+
+def _park(store, orig, problem_host, slices, slot):
+    """Record an instance's final problem state for the local-search phase."""
+    v, f, _, n, m, _ = slices[slot]
+    store[orig] = {
+        "active_vars": np.asarray(problem_host.active_vars[v:v + n]),
+        "active_clauses": np.asarray(problem_host.active_clauses[f:f + m]),
+        "solution": np.asarray(problem_host.solution[v:v + n]),
+        "is_sat": float(np.asarray(problem_host.is_sat)[slot]),
+    }
+
+
+def _unpark(store, todo, batch: FGBatch, slices):
+    """Rebuild a packed ProblemState from parked per-instance records."""
+    V, F, B = batch.num_vars, batch.num_clauses, batch.batch_size
+    av = np.zeros(V, np.float32)
+    ac = np.zeros(F, np.float32)
+    sol = 0.5 * np.ones(V, np.float32)
+    iss = 0.5 * np.ones(B, np.float32)
+    for slot, orig in enumerate(todo):
+        v, f, _, n, m, _ = slices[slot]
+        rec = store[orig]
+        av[v:v + n] = rec["active_vars"]
+        ac[f:f + m] = rec["active_clauses"]
+        sol[v:v + n] = rec["solution"]
+        iss[slot] = rec["is_sat"]
+    return ProblemState(active_vars=jnp.asarray(av),
+                        active_clauses=jnp.asarray(ac),
+                        solution=jnp.asarray(sol),
+                        is_sat=jnp.asarray(iss))
+
+
+def compacting_solve(solver, params, rng, instances, iterations, *,
+                     ls_iterations=None, chunk=50, ls_chunk=None,
+                     min_edges=32768, verbose=False):
+    """Full solve over `instances` with progressive batch compaction.
+
+    Returns (solutions, solved, stats): solutions is a list of f32[n_i]
+    assignments in {0,1}, solved a bool list (verified against the formula
+    by cnf_evaluate on-device), stats a dict with compaction/timing
+    telemetry.
+
+    min_edges: stop compacting once the edge bucket is at or below this
+    (per-program dispatch floors dominate for small batches).
+    """
+    count = len(instances)
+    ls_iterations = (solver.cfg.local_search_iterations
+                     if ls_iterations is None else ls_iterations)
+    ls_chunk = ls_chunk or max(chunk * 4, 200)
+
+    solutions = [None] * count
+    solved = [False] * count
+    parked = {}
+
+    # --- phase 1: decimation loop with compaction -----------------------
+    live = list(range(count))          # original index per batch slot
+    batch = pack_instances([instances[i] for i in live])
+    slices = instance_slices([instances[i] for i in live])
+    rng, r_init = jax.random.split(rng)
+    state = solver.get_init_state(r_init, batch, randomized=True)
+    carry = None
+
+    def step(params, r, b, s, carry, n):
+        _, s2, c2 = solver.forward(
+            params, r, b, s, n, is_training=False,
+            check_termination=True, carry=carry, finalize=False)
+        # solved flags ride the same program (solution is merged in-loop)
+        sv, _ = cnf_evaluate(b, c2[0].solution[:, None])
+        return s2, c2, sv
+
+    first_fn = jax.jit(lambda p, r, b, s, n: step(p, r, b, s, None, n),
+                       static_argnames="n")
+    step_fn = jax.jit(step, static_argnames="n")
+
+    stats = {"compactions": [], "chunks": 0}
+    done = 0
+    sv_aligned = True   # does `sv` index the current live list?
+    t0 = time.time()
+    while done < iterations and live:
+        rng, r = jax.random.split(rng)
+        n = min(chunk, iterations - done)
+        if carry is None:
+            state, carry, sv = first_fn(params, r, batch, state, n)
+        else:
+            state, carry, sv = step_fn(params, r, batch, state, carry, n)
+        done += n
+        sv_aligned = True
+        stats["chunks"] += 1
+
+        active_b = np.asarray(carry[1])[:len(live)]
+        solved_b = np.asarray(sv)[:len(live)]
+        finished = [s for s in range(len(live)) if active_b[s] <= 0]
+        if not finished:
+            continue
+        problem_host = jax.tree_util.tree_map(np.asarray, carry[0])
+        keep = []
+        for slot, orig in enumerate(live):
+            if solved_b[slot] > 0:
+                sol = problem_host.solution[
+                    slices[slot][0]:slices[slot][0] + slices[slot][3]]
+                solutions[orig] = (sol > 0.5).astype(np.float32)
+                solved[orig] = True
+            elif active_b[slot] > 0:
+                keep.append(slot)
+            else:
+                _park(parked, orig, problem_host, slices, slot)
+        if not keep:
+            live = []
+            break
+        # compact only when it strictly shrinks the edge bucket and the
+        # batch is still big enough for the repack to matter
+        if batch.num_edges > min_edges and len(keep) < len(live):
+            new_insts = [instances[live[s]] for s in keep]
+            tentative = pack_instances(new_insts)
+            if tentative.num_edges < batch.num_edges:
+                new_slices = instance_slices(new_insts)
+                host_state = jax.tree_util.tree_map(np.asarray, state)
+                host_carry = jax.tree_util.tree_map(np.asarray, carry)
+                state = jax.device_put(remap_state(
+                    host_state, keep, batch, tentative, slices, new_slices))
+                carry = jax.device_put(remap_state(
+                    host_carry, keep, batch, tentative, slices, new_slices))
+                live = [live[s] for s in keep]
+                batch, slices = tentative, new_slices
+                # kept instances were all active & unsolved as of `sv`,
+                # but `sv` itself still indexes the pre-compaction slots
+                sv_aligned = False
+                stats["compactions"].append(
+                    {"iter": done, "instances": len(live),
+                     "edges": batch.num_edges})
+                if verbose:
+                    print(f"[compact] iter {done}: {len(live)} live, "
+                          f"E={batch.num_edges}")
+    stats["pdp_wall_s"] = round(time.time() - t0, 3)
+
+    # leftover live instances (budget exhausted): park for local search
+    if live and carry is not None:
+        problem_host = jax.tree_util.tree_map(np.asarray, carry[0])
+        solved_b = (np.asarray(sv)[:len(live)] if sv_aligned
+                    else np.zeros(len(live)))
+        for slot, orig in enumerate(live):
+            if solved_b[slot] > 0:
+                sol = problem_host.solution[
+                    slices[slot][0]:slices[slot][0] + slices[slot][3]]
+                solutions[orig] = (sol > 0.5).astype(np.float32)
+                solved[orig] = True
+            else:
+                _park(parked, orig, problem_host, slices, slot)
+
+    # --- phase 2: local search on the unsolved set -----------------------
+    t1 = time.time()
+    todo = [i for i in range(count) if not solved[i] and i in parked]
+    if ls_iterations > 0 and todo:
+        ls_batch = pack_instances([instances[i] for i in todo])
+        ls_slices = instance_slices([instances[i] for i in todo])
+        problem = jax.device_put(_unpark(parked, todo, ls_batch, ls_slices))
+
+        def ls_step(r, b, prob, pred, n):
+            new = solver.local_search(r, b, prob, pred, n)
+            # local_search returns 0.5 on non-active vars; merge the decided
+            # values back in (the finalize path's _update_solution does the
+            # same, solvers/base.py)
+            av = prob.active_vars[:, None]
+            merged = av * new + (1.0 - av) * prob.solution[:, None]
+            sv, _ = cnf_evaluate(b, merged)
+            return merged, sv
+
+        ls_fn = jax.jit(ls_step, static_argnames="n")
+
+        rng, r_fill = jax.random.split(rng)
+        noise = (jax.random.uniform(r_fill, (ls_batch.num_vars, 1))
+                 > 0.5).astype(jnp.float32)
+        pred = jnp.where(problem.active_vars[:, None] > 0, noise,
+                         problem.solution[:, None])
+        done_ls = 0
+        sv = jnp.zeros((ls_batch.batch_size,), jnp.float32)
+        while done_ls < ls_iterations:
+            rng, r = jax.random.split(rng)
+            n = min(ls_chunk, ls_iterations - done_ls)
+            pred, sv = ls_fn(r, ls_batch, problem, pred, n)
+            done_ls += n
+            if float(jnp.sum(sv * ls_batch.instance_mask)) >= len(todo):
+                break
+        pred_host = np.asarray(pred)[:, 0]
+        sv_host = np.asarray(sv)
+        for slot, orig in enumerate(todo):
+            v, _, _, n_, _, _ = ls_slices[slot]
+            solutions[orig] = (pred_host[v:v + n_] > 0.5).astype(np.float32)
+            solved[orig] = bool(sv_host[slot] > 0)
+    else:
+        for i in todo:
+            solutions[i] = (parked[i]["solution"] > 0.5).astype(np.float32)
+    stats["ls_wall_s"] = round(time.time() - t1, 3)
+    stats["wall_s"] = round(time.time() - t0, 3)
+    stats["solved"] = int(sum(solved))
+
+    for i in range(count):
+        if solutions[i] is None:
+            solutions[i] = np.zeros(int(instances[i][0]), np.float32)
+    return solutions, solved, stats

@@ -1,0 +1,164 @@
+"""Progressive batch compaction (solvers/compact.py).
+
+Invariants tested:
+  * remap_state is a faithful relayout: every kept instance's per-edge,
+    per-var, per-clause, and per-instance state lands at its new offsets
+    unchanged, padding is zero-filled;
+  * compacting_solve solves (verified) at least as well as the plain
+    uncompacted solver on the same formulas, and actually compacts;
+  * harvested solutions are verified assignments in {0,1}.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pdp_solver_tpu.fg.batch import pack_instances
+from pdp_solver_tpu.solvers import SolverConfig, PDPSolver
+from pdp_solver_tpu.solvers.compact import (
+    compacting_solve, instance_slices, remap_state)
+from tests.helpers import cnf_instance, check_assignment, random_ksat
+
+
+def _mixed_instances(rng, counts=((30, 3.0), (50, 3.2), (40, 2.8)), per=3):
+    insts, clause_lists = [], []
+    for n, alpha in counts:
+        for _ in range(per):
+            cl = random_ksat(rng, n, int(n * alpha), 3)
+            clause_lists.append(cl)
+            insts.append(cnf_instance(n, cl))
+    return insts, clause_lists
+
+
+def test_remap_state_relayout(rng):
+    insts, _ = _mixed_instances(rng)
+    batch = pack_instances(insts)
+    slices = instance_slices(insts)
+    E, V, F, B = (batch.num_edges, batch.num_vars, batch.num_clauses,
+                  batch.batch_size)
+    # a state tree with one leaf per dim, values = global index so the
+    # relayout is directly checkable
+    tree = {
+        "e": np.arange(E, dtype=np.float32),
+        "v": np.arange(V, dtype=np.float32) + 1000,
+        "f": np.arange(F, dtype=np.float32) + 2000,
+        "b": np.arange(B, dtype=np.float32) + 3000,
+        "scalar": np.float32(7.0),
+        "e2d": np.stack([np.arange(E), np.arange(E)], axis=1).astype(
+            np.float32),
+    }
+    keep = [1, 4, 7]
+    kept = [insts[i] for i in keep]
+    new_batch = pack_instances(kept)
+    new_slices = instance_slices(kept)
+    out = remap_state(tree, keep, batch, new_batch, slices, new_slices)
+
+    assert out["scalar"] == 7.0
+    for j, i in enumerate(keep):
+        ov, of, oe, n, m, e = slices[i]
+        nv, nf, ne = new_slices[j][0], new_slices[j][1], new_slices[j][2]
+        np.testing.assert_array_equal(out["e"][ne:ne + e],
+                                      np.arange(oe, oe + e))
+        np.testing.assert_array_equal(out["v"][nv:nv + n],
+                                      np.arange(ov, ov + n) + 1000)
+        np.testing.assert_array_equal(out["f"][nf:nf + m],
+                                      np.arange(of, of + m) + 2000)
+        np.testing.assert_array_equal(out["e2d"][ne:ne + e, 0],
+                                      np.arange(oe, oe + e))
+        assert out["b"][j] == 3000 + i
+    # padding rows zero-filled
+    last_e = new_slices[-1][2] + new_slices[-1][5]
+    assert (out["e"][last_e:] == 0).all()
+
+
+def test_remap_state_rejects_ambiguous_dims(rng):
+    insts, _ = _mixed_instances(rng, counts=((8, 2.0),), per=2)
+    # force colliding padded dims
+    batch = pack_instances(insts, pad_v=64, pad_f=64, pad_e=128, pad_b=64)
+    slices = instance_slices(insts)
+    with pytest.raises(ValueError, match="ambiguous"):
+        remap_state({"x": np.zeros(64)}, [0], batch,
+                    pack_instances(insts[:1]), slices,
+                    instance_slices(insts[:1]))
+
+
+def test_compacting_solve_matches_plain_solver(rng):
+    # the alpha=1.5 instances decimate to verified solutions in-loop and
+    # freeze early, shrinking the live edge count enough for the packed
+    # bucket to step down (compaction); the alpha=3.x ones go the distance
+    # and exercise the parked/local-search path
+    easy, easy_cl = _mixed_instances(rng, counts=((60, 1.5),), per=12)
+    hard, hard_cl = _mixed_instances(rng, counts=((40, 2.8),), per=3)
+    insts, clause_lists = easy + hard, easy_cl + hard_cl
+    solver = PDPSolver(SolverConfig(
+        model_type="p-d-p", tolerance=0.02, t_max=100,
+        local_search_iterations=300, epsilon=0.5))
+
+    solutions, solved, stats = compacting_solve(
+        solver, {}, jax.random.PRNGKey(0), insts, 300,
+        chunk=25, min_edges=0)
+
+    n_solved = sum(solved)
+    # verify every claimed solution against the formula
+    for sol, ok, cl in zip(solutions, solved, clause_lists):
+        assert set(np.unique(sol)).issubset({0.0, 1.0})
+        if ok:
+            assert check_assignment(cl, sol)
+    # easy 3-SAT: nearly everything should be solved (plain-solver bar is
+    # 0.8 in test_pdp_sp_solver_on_easy_3sat)
+    assert n_solved >= int(0.8 * len(insts))
+    # the batch must actually have compacted at least once
+    assert stats["compactions"], f"no compaction happened: {stats}"
+    e0 = pack_instances(insts).num_edges
+    assert stats["compactions"][-1]["edges"] < e0
+
+
+def test_compaction_preserves_survivor_trajectories(rng):
+    """Remapping mid-solve must continue the same per-instance dynamics:
+    with decimation disabled (tolerance 0, huge t_max) the SP messages are
+    a deterministic function of the init state, so the kept instances'
+    surveys after [50 iters -> compact -> 25 iters] must match the
+    uncompacted [75 iters] run on the same batch (up to reduce-order
+    rounding)."""
+    insts, _ = _mixed_instances(rng, counts=((40, 3.0), (60, 3.5)), per=4)
+    solver = PDPSolver(SolverConfig(
+        model_type="p-d-p", tolerance=0.0, t_max=1e9,
+        local_search_iterations=0, epsilon=0.5))
+    batch = pack_instances(insts)
+    slices = instance_slices(insts)
+    r_init, r_fwd = jax.random.split(jax.random.PRNGKey(5))
+    state0 = solver.get_init_state(r_init, batch, randomized=True)
+
+    step = jax.jit(lambda r, b, s, c, n: solver.forward(
+        {}, r, b, s, n, is_training=False, check_termination=True,
+        carry=c, finalize=False), static_argnames="n")
+    first = jax.jit(lambda r, b, s, n: solver.forward(
+        {}, r, b, s, n, is_training=False, check_termination=True,
+        finalize=False), static_argnames="n")
+
+    # uncompacted: 50 + 25
+    _, s_a, c_a = first(r_fwd, batch, state0, 50)
+    _, s_a, c_a = step(jax.random.fold_in(r_fwd, 1), batch, s_a, c_a, 25)
+
+    # compacted at iter 50 to a subset, then 25 more
+    _, s_b, c_b = first(r_fwd, batch, state0, 50)
+    keep = [0, 2, 5, 6, 7]
+    kept = [insts[i] for i in keep]
+    new_batch = pack_instances(kept)
+    new_slices = instance_slices(kept)
+    host_s = jax.tree_util.tree_map(np.asarray, s_b)
+    host_c = jax.tree_util.tree_map(np.asarray, c_b)
+    s_b = jax.device_put(remap_state(host_s, keep, batch, new_batch,
+                                     slices, new_slices))
+    c_b = jax.device_put(remap_state(host_c, keep, batch, new_batch,
+                                     slices, new_slices))
+    _, s_b, c_b = step(jax.random.fold_in(r_fwd, 1), new_batch, s_b, c_b, 25)
+
+    eta_a = np.asarray(s_a.prop.fn[0])
+    eta_b = np.asarray(s_b.prop.fn[0])
+    for j, i in enumerate(keep):
+        oe, e = slices[i][2], slices[i][5]
+        ne = new_slices[j][2]
+        np.testing.assert_allclose(eta_b[ne:ne + e], eta_a[oe:oe + e],
+                                   atol=1e-4)
