@@ -120,10 +120,26 @@ def main():
     if use_compact:
         from pdp_solver_tpu.solvers.compact import compacting_solve
 
+        # restart schedule: the budgets of the attempts sum to exactly the
+        # protocol budgets (iters, ls_iters); unsolved instances re-enter
+        # with a fresh message init (solve quality depends strongly on the
+        # init basin - see tools/eps_study.py / docs/PERFORMANCE.md)
+        sched_env = os.environ.get("BENCH_SCHEDULE", "0.6,0.4")
+        fracs = [float(x) for x in sched_env.split(",") if x]
+        schedule = [(max(int(iters * f), 1), max(int(ls_iters * f), 1))
+                    for f in fracs]
+        # rounding must never exceed the protocol budgets
+        over_i = sum(s[0] for s in schedule) - iters
+        over_l = sum(s[1] for s in schedule) - ls_iters
+        if over_i > 0 or over_l > 0:
+            schedule[-1] = (schedule[-1][0] - max(over_i, 0),
+                            schedule[-1][1] - max(over_l, 0))
+
         def compact_run():
             _, solved_list, stats = compacting_solve(
                 solver, {}, r_fwd, insts, iters,
-                ls_iterations=ls_iters, chunk=chunk or 50)
+                ls_iterations=ls_iters, chunk=chunk or 50,
+                schedule=schedule)
             return sum(solved_list), stats
 
     # warm-up: compile every distinct program the timed run will execute,

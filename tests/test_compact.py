@@ -162,3 +162,43 @@ def test_compaction_preserves_survivor_trajectories(rng):
         ne = new_slices[j][2]
         np.testing.assert_allclose(eta_b[ne:ne + e], eta_a[oe:oe + e],
                                    atol=1e-4)
+
+
+class _FaultyOnce:
+    """Delegates to a real solver; raises on one specific forward call."""
+
+    def __init__(self, inner, fault_on):
+        self._inner = inner
+        self._calls = 0
+        self._fault_on = fault_on
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def forward(self, *args, **kw):
+        if not kw.get("finalize", True):
+            self._calls += 1
+            if self._calls == self._fault_on:
+                raise RuntimeError("injected device fault")
+        return self._inner.forward(*args, **kw)
+
+
+def test_compacting_solve_recovers_from_fault(rng):
+    """An injected mid-solve fault must halve the chunk, restore the last
+    good carry, and still produce verified solutions."""
+    insts, clause_lists = _mixed_instances(rng, counts=((30, 3.0),), per=6)
+    real = PDPSolver(SolverConfig(
+        model_type="p-d-p", tolerance=0.02, t_max=100,
+        local_search_iterations=200, epsilon=0.5))
+    # fault_on=2 fires during the first step_fn trace (first_fn traces on
+    # call 1), deterministically mid-solve regardless of compaction timing
+    solver = _FaultyOnce(real, fault_on=2)
+
+    solutions, solved, stats = compacting_solve(
+        solver, {}, jax.random.PRNGKey(0), insts, 150,
+        chunk=25, min_edges=0, min_chunk=5)
+    assert stats["faults"] == 1
+    assert sum(solved) >= 4
+    for sol, ok, cl in zip(solutions, solved, clause_lists):
+        if ok:
+            assert check_assignment(cl, sol)
