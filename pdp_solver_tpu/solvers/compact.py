@@ -173,7 +173,7 @@ def _compact_fns(solver):
 def compacting_solve(solver, params, rng, instances, iterations, *,
                      ls_iterations=None, chunk=50, ls_chunk=None,
                      min_edges=32768, min_chunk=10, resilient=True,
-                     schedule=None, verbose=False):
+                     mirror_every=1, schedule=None, verbose=False):
     """Full solve over `instances` with progressive batch compaction and an
     optional restart schedule.
 
@@ -208,7 +208,8 @@ def compacting_solve(solver, params, rng, instances, iterations, *,
         sols_k, solved_k, st_k = _solve_attempt(
             solver, params, r, subset, it_k, ls_iterations=ls_k,
             chunk=chunk, ls_chunk=ls_chunk, min_edges=min_edges,
-            min_chunk=min_chunk, resilient=resilient, verbose=verbose)
+            min_chunk=min_chunk, resilient=resilient,
+            mirror_every=mirror_every, verbose=verbose)
         for j, orig in enumerate(remaining):
             solutions[orig] = sols_k[j]
             solved[orig] = solved_k[j]
@@ -229,7 +230,7 @@ def compacting_solve(solver, params, rng, instances, iterations, *,
 def _solve_attempt(solver, params, rng, instances, iterations, *,
                    ls_iterations, chunk=50, ls_chunk=None,
                    min_edges=32768, min_chunk=10, resilient=True,
-                   verbose=False):
+                   mirror_every=1, verbose=False):
     """One compacting solve pass (see compacting_solve)."""
     count = len(instances)
     ls_iterations = (solver.cfg.local_search_iterations
@@ -255,6 +256,7 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
     sv_aligned = True   # does `sv` index the current live list?
     mirror = ((jax.tree_util.tree_map(np.asarray, state), None)
               if resilient else None)
+    mirror_done = 0
     t0 = time.time()
     while done < iterations and live:
         rng, r = jax.random.split(rng)
@@ -264,11 +266,15 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
                 state, carry, sv = first_fn(params, r, batch, state, n)
             else:
                 state, carry, sv = step_fn(params, r, batch, state, carry, n)
-            if resilient:
+            if resilient and stats["chunks"] % mirror_every == 0:
                 # force completion so a fault surfaces HERE while the last
-                # good carry still exists on the host
+                # good carry still exists on the host. mirror_every > 1
+                # trades fault-recovery granularity for less device->host
+                # traffic (the full carry is ~25 MB at bench shapes; the
+                # small per-chunk active/solved reads below stay)
                 mirror = (jax.tree_util.tree_map(np.asarray, state),
                           jax.tree_util.tree_map(np.asarray, carry))
+                mirror_done = done + n
         except Exception:
             if not resilient or chunk <= min_chunk:
                 raise
@@ -277,6 +283,9 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
             state = jax.device_put(mirror[0])
             carry = (None if mirror[1] is None
                      else jax.device_put(mirror[1]))
+            # `done` tracks the mirror: chunks since the last mirror are
+            # lost and re-run (only matters when mirror_every > 1)
+            done = mirror_done
             continue
         done += n
         sv_aligned = True
@@ -321,6 +330,7 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
                     # the mirror must match the new layout, or a fault in
                     # the next chunk would restore stale-shaped arrays
                     mirror = (new_state_h, new_carry_h)
+                    mirror_done = done
                 live = [live[s] for s in keep]
                 batch, slices = tentative, new_slices
                 # kept instances were all active & unsolved as of `sv`,
