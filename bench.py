@@ -124,7 +124,7 @@ def main():
         # protocol budgets (iters, ls_iters); unsolved instances re-enter
         # with a fresh message init (solve quality depends strongly on the
         # init basin - see tools/eps_study.py / docs/PERFORMANCE.md)
-        sched_env = os.environ.get("BENCH_SCHEDULE", "0.6,0.4")
+        sched_env = os.environ.get("BENCH_SCHEDULE", "0.5,0.5")
         fracs = [float(x) for x in sched_env.split(",") if x]
         schedule = [(max(int(iters * f), 1), max(int(ls_iters * f), 1))
                     for f in fracs]
@@ -135,11 +135,17 @@ def main():
             schedule[-1] = (schedule[-1][0] - max(over_i, 0),
                             schedule[-1][1] - max(over_l, 0))
 
+        # deeper ladders help more but each bucket shape is a remote
+        # compile on the tunneled TPU; stop earlier there
+        min_edges = int(os.environ.get(
+            "BENCH_MIN_EDGES",
+            "131072" if jax.default_backend() == "tpu" else "32768"))
+
         def compact_run():
             _, solved_list, stats = compacting_solve(
                 solver, {}, r_fwd, insts, iters,
                 ls_iterations=ls_iters, chunk=chunk or 50,
-                schedule=schedule)
+                min_edges=min_edges, schedule=schedule)
             return sum(solved_list), stats
 
     # warm-up: compile every distinct program the timed run will execute,
