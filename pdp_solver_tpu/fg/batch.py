@@ -354,3 +354,41 @@ def replicate_batch(batch: FGBatch, replication: int) -> FGBatch:
         fast_var=batch.fast_var and tile_aligned,
         fast_clause=batch.fast_clause and tile_aligned,
     )
+
+
+def unpack_instances(batch: FGBatch):
+    """Inverse of pack_instances: recover per-instance tuples
+    (n, m, graph_map[2,Ei], edge_sign[Ei], label[, None, meta]) from a
+    packed batch (host-side; padding instances are dropped). Enables
+    repacking subsets of an already-packed batch (solvers/compact.py)."""
+    ev = np.asarray(batch.edge_var)
+    ec = np.asarray(batch.edge_clause)
+    es = np.asarray(batch.edge_sign)
+    vb = np.asarray(batch.var_batch)
+    cb = np.asarray(batch.clause_batch)
+    vm = np.asarray(batch.var_mask) > 0
+    cm = np.asarray(batch.clause_mask) > 0
+    em = np.asarray(batch.edge_mask) > 0
+    labels = np.asarray(batch.label)
+    metas = np.asarray(batch.graph_feat)
+    n_real = int(np.asarray(batch.instance_mask).sum())
+
+    n_by_b = np.bincount(vb[vm], minlength=n_real)[:n_real]
+    m_by_b = np.bincount(cb[cm], minlength=n_real)[:n_real]
+    v_off = np.concatenate([[0], np.cumsum(n_by_b)])
+    f_off = np.concatenate([[0], np.cumsum(m_by_b)])
+    e_inst = vb[ev[em]]   # owning instance of each real edge (edges are
+    e_by_b = np.bincount(e_inst, minlength=n_real)[:n_real]
+    e_off = np.concatenate([[0], np.cumsum(e_by_b)])
+
+    out = []
+    for b in range(n_real):
+        sl = slice(int(e_off[b]), int(e_off[b + 1]))
+        gmap = np.stack([ev[sl] - v_off[b], ec[sl] - f_off[b]]).astype(
+            np.int32)
+        inst = [int(n_by_b[b]), int(m_by_b[b]), gmap,
+                es[sl].astype(np.float32), float(labels[b])]
+        if metas.shape[1] > 0:
+            inst += [None, metas[b]]
+        out.append(tuple(inst))
+    return out

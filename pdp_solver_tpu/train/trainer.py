@@ -248,6 +248,24 @@ class SatTrainer:
         default_chunk = "100" if jax.default_backend() == "tpu" else "0"
         chunk = int(os.environ.get("PDP_SOLVE_CHUNK", default_chunk))
         if chunk > 0 and replication == 1 and iters > chunk:
+            # PDP_SOLVE_COMPACT=1 additionally harvests solved instances at
+            # chunk boundaries and repacks the survivors into smaller
+            # buckets (solvers/compact.py) - worthwhile for long budgets
+            # over many instances; default off to keep the reference's
+            # single-batch semantics (identical RNG stream per batch)
+            if os.environ.get("PDP_SOLVE_COMPACT", "0") == "1":
+                from pdp_solver_tpu.fg.batch import unpack_instances
+                from pdp_solver_tpu.solvers.compact import compacting_solve
+                insts = unpack_instances(batch)
+                sols, _, _ = compacting_solve(
+                    self.solver, self.params, self._next_rng(), insts,
+                    iters, chunk=chunk)
+                pred = np.full((batch.num_vars, 1), 0.5, np.float32)
+                off = 0
+                for sol in sols:
+                    pred[off:off + sol.shape[0], 0] = sol
+                    off += sol.shape[0]
+                return jnp.asarray(pred)
             from pdp_solver_tpu.utils.resilient import resilient_solve
             r_state, r_fwd = jax.random.split(self._next_rng())
             state = self.solver.get_init_state(r_state, batch,

@@ -202,3 +202,53 @@ def test_compacting_solve_recovers_from_fault(rng):
     for sol, ok, cl in zip(solutions, solved, clause_lists):
         if ok:
             assert check_assignment(cl, sol)
+
+
+def test_unpack_instances_roundtrip(rng):
+    """pack -> unpack -> pack must reproduce the batch exactly."""
+    insts, _ = _mixed_instances(rng)
+    b1 = pack_instances(insts)
+    from pdp_solver_tpu.fg.batch import unpack_instances
+    b2 = pack_instances(unpack_instances(b1))
+    for f in ("edge_var", "edge_clause", "edge_sign", "var_batch",
+              "clause_batch", "edge_mask", "var_mask", "clause_mask",
+              "instance_mask", "label"):
+        np.testing.assert_array_equal(np.asarray(getattr(b1, f)),
+                                      np.asarray(getattr(b2, f)),
+                                      err_msg=f)
+
+
+def test_trainer_compact_route_produces_verified_predictions(rng, tmp_path,
+                                                             monkeypatch):
+    """PDP_SOLVE_COMPACT=1 routes long classical predict budgets through
+    the compacting solve; the emitted predictions must keep the output
+    contract (solved rows verify, one dict per instance)."""
+    import io
+    import json as _json
+    from pdp_solver_tpu.fg.jsonfmt import clauses_to_line
+    from pdp_solver_tpu.train.trainer import SatTrainer
+
+    _, clause_lists = _mixed_instances(rng, counts=((20, 2.0),), per=5)
+    path = tmp_path / "set.json"
+    path.write_text("\n".join(
+        clauses_to_line(20, cl, 1.0, [f"id{i}"])
+        for i, cl in enumerate(clause_lists)) + "\n")
+
+    monkeypatch.setenv("PDP_SOLVE_CHUNK", "20")
+    monkeypatch.setenv("PDP_SOLVE_COMPACT", "1")
+    trainer = SatTrainer({
+        "model_type": "p-d-p", "model_name": "t", "tolerance": 0.02,
+        "t_max": 100, "local_search_iteration": 100, "epsilon": 0.5,
+        "test_recurrence_num": 100, "batch_size": 5000,
+        "hidden_dim": 3}, seed=0)
+    out = io.StringIO()
+    trainer.predict(str(path), out)
+    rows = [_json.loads(l) for l in out.getvalue().strip().split("\n")]
+    assert len(rows) == 5
+    n_solved = 0
+    for row, cl in zip(rows, clause_lists):
+        if int(row["solved"]) == 1:
+            n_solved += 1
+            assert check_assignment(cl, np.asarray(row["solution"],
+                                                   np.float32))
+    assert n_solved >= 4
