@@ -253,6 +253,11 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
 
     stats = {"compactions": [], "chunks": 0, "faults": 0}
     done = 0
+    # per-iteration cost scales with the edge bucket, so growing the chunk
+    # inversely keeps the per-program execution time constant while cutting
+    # dispatch + mirror overhead on compacted buckets (deterministic per
+    # bucket, so repeated runs hit the same compiled programs)
+    chunk0, e0 = chunk, batch.num_edges
     sv_aligned = True   # does `sv` index the current live list?
     mirror = ((jax.tree_util.tree_map(np.asarray, state), None)
               if resilient else None)
@@ -333,6 +338,9 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
                     mirror_done = done
                 live = [live[s] for s in keep]
                 batch, slices = tentative, new_slices
+                # cap at 4x: oversized chunks delay the all-done exit by up
+                # to a full chunk of wasted iterations
+                chunk = min(chunk0 * (e0 // batch.num_edges), chunk0 * 4)
                 # kept instances were all active & unsolved as of `sv`,
                 # but `sv` itself still indexes the pre-compaction slots
                 sv_aligned = False
