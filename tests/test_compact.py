@@ -252,3 +252,25 @@ def test_trainer_compact_route_produces_verified_predictions(rng, tmp_path,
             assert check_assignment(cl, np.asarray(row["solution"],
                                                    np.float32))
     assert n_solved >= 4
+
+
+def test_compacting_solve_neural_solver(rng):
+    """The generic E/V/F/B remap must carry the neural solver's [E, h]
+    GRU/message states through a compaction; np-nd-np (untrained) with
+    WalkSAT still solves easy formulas and never mislabels solutions."""
+    easy, easy_cl = _mixed_instances(rng, counts=((40, 1.5),), per=8)
+    hard, hard_cl = _mixed_instances(rng, counts=((30, 2.5),), per=2)
+    insts, clause_lists = easy + hard, easy_cl + hard_cl
+    solver = PDPSolver(SolverConfig(
+        model_type="np-nd-np", hidden_dim=8, mem_hidden_dim=6,
+        agg_hidden_dim=6, mem_agg_hidden_dim=4, classifier_dim=4,
+        prediction_dim=1, local_search_iterations=200, epsilon=0.5))
+    params = solver.init_params(jax.random.PRNGKey(9))
+
+    solutions, solved, stats = compacting_solve(
+        solver, params, jax.random.PRNGKey(0), insts, 60,
+        chunk=15, min_edges=0)
+    for sol, ok, cl in zip(solutions, solved, clause_lists):
+        if ok:
+            assert check_assignment(cl, sol)
+    assert sum(solved) >= 7
