@@ -154,7 +154,14 @@ def main():
     # inflate the wall time)
     t0 = time.time()
     if use_compact:
-        warm_solved, warm_stats = compact_run()
+        try:
+            warm_solved, warm_stats = compact_run()
+        except Exception:
+            # never let the compaction path take the whole benchmark down:
+            # revert to the plain chunked solve (compiled below)
+            use_compact = False
+    if use_compact:
+        pass
     elif chunk > 0:
         st_w, carry_w = first_fn(r_fwd, batch, state, min(chunk, iters))
         if iters > chunk:
