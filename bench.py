@@ -134,6 +134,10 @@ def main():
         if over_i > 0 or over_l > 0:
             schedule[-1] = (schedule[-1][0] - max(over_i, 0),
                             schedule[-1][1] - max(over_l, 0))
+        # splitting a small budget starves every attempt (decimation needs
+        # ~150+ iterations to engage at the bench operating point)
+        if min(s[0] for s in schedule) < 200:
+            schedule = None
 
         # deeper ladders help more but each bucket shape is a remote
         # compile on the tunneled TPU; stop earlier there
