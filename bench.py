@@ -46,13 +46,18 @@ def main():
     count = len(insts)
     batch = pack_instances(insts)
 
-    # banded multi-variable decimation with an argmax end-game (measured on
-    # the shared set: solves as much as the reference argmax rule in ~1.5x
-    # less wall; tools/decimation_study.py, docs/PERFORMANCE.md)
-    theta = float(os.environ.get("BENCH_DEC_THETA", "0.7"))
-    guard = float(os.environ.get("BENCH_DEC_GUARD", "50"))
+    # solver operating point, validated on three disjoint instance seeds
+    # (docs/PERFORMANCE.md): the reference's argmax decimation rule, a
+    # looser convergence tolerance (0.05 solves 79-88/128 across seeds vs
+    # 74-81 at the reference's 0.02, at equal-or-less wall), plus the
+    # restart schedule and compaction below. The banded multi-variable
+    # decimation (BENCH_DEC_THETA < 1) is faster per solve but lost
+    # held-out validation on solved count and is off by default.
+    theta = float(os.environ.get("BENCH_DEC_THETA", "1.0"))
+    guard = float(os.environ.get("BENCH_DEC_GUARD", "0"))
+    tol = float(os.environ.get("BENCH_TOL", "0.05"))
     solver = PDPSolver(SolverConfig(
-        model_type="p-d-p", tolerance=0.02, t_max=100,
+        model_type="p-d-p", tolerance=tol, t_max=100,
         local_search_iterations=ls_iters, epsilon=0.5,
         decimation_threshold=theta, decimation_guard=guard))
 
