@@ -186,7 +186,8 @@ def sequential_decimator_apply(cfg: SeqDecimatorConfig,
                                problem: ProblemState,
                                edge_mask,
                                active_instances,
-                               scorer_tail_fn: Callable = None):
+                               scorer_tail_fn: Callable = None,
+                               precomputed_agg=None):
     """Reference pdp_decimate.py:122-177, fully on-device.
 
     Per iteration: (1) paramagnetic early-stop - zero the instance's active
@@ -213,7 +214,11 @@ def sequential_decimator_apply(cfg: SeqDecimatorConfig,
     scorer_agg = None
     use_kernel = _use_fused_kernel(batch)
     classical = isinstance(fn_part, tuple)
-    if (use_kernel and classical and scorer_tail_fn is not None
+    if precomputed_agg is not None:
+        # the propagator already reduced these columns inside its chained
+        # sweep kernel (propagate.survey_propagate_with_decimator_agg)
+        nd, scorer_agg = precomputed_agg
+    elif (use_kernel and classical and scorer_tail_fn is not None
             and active_instances is not None):
         # combined reduce: convergence smooth-max + paramagnetic columns
         # AND the survey scorer's aggregation, one pass over the surveys

@@ -230,6 +230,106 @@ def _sp_chain_f3(login):
     return f
 
 
+# chained A+B with the sequential decimator's combined convergence/scorer
+# reduce folded in: in the classical p-d-p loop the decimator compares the
+# sweep's NEW eta against the previous one (seq prev_eta == the sweep's
+# eta_state input, see solvers/base.py), so its eight edge->var reduce
+# columns (modules/decimate._smax_scorer_pass) can ride the SAME windowed
+# one-hot and reduce matmul this kernel already builds for the polarity
+# aggregation - one whole edge pass per solver iteration disappears.
+def _sp_chain_f1_dec(gathered, edge_vals):
+    u_in, em = edge_vals[0], edge_vals[2]
+    return (safe_log(u_in, LOG_EPS_PROP) * em,)
+
+
+def _sp_chain_f2_dec(cred, clause_vals):
+    # broadcast the clause log-u sum AND the clause activity to the edges
+    return (), (cred[0], clause_vals[0])
+
+
+def _sp_chain_f3_dec(bcast, gathered, edge_vals):
+    from pdp_solver_tpu.ops.segment import LOG_EPS_SCORE
+    cl_sum, ac_e = bcast
+    u_in, eta_in, em, mask, eta_state, sign, force, bmask = edge_vals
+    log_u = safe_log(u_in, LOG_EPS_PROP) * em
+    eta = safe_exp(cl_sum - log_u)
+    new_eta = mask * eta + (1.0 - mask) * eta_state
+    lm = safe_log(1.0 - eta_in, LOG_EPS_PROP) * em
+    pos_w = jnp.where(sign == 1, 1.0, 0.0)
+    neg_w = jnp.where(sign == -1, 1.0, 0.0)
+    # decimator columns (decimate._smax_scorer_pass) on the new surveys;
+    # prev_eta == eta_state in the p-d-p loop (only consumed behind the
+    # decimator's has_prev gate, which is 0 on the one iteration where the
+    # two could differ)
+    diff = jnp.abs(eta_state - new_eta) * em
+    cd = safe_exp(30.0 * diff) * bmask
+    ce = safe_exp(30.0 * new_eta) * bmask
+    em_s = ac_e * bmask
+    fm1 = safe_log(1.0 - new_eta, LOG_EPS_SCORE) * em_s
+    return (lm * pos_w, lm * neg_w,
+            diff * cd, cd, new_eta * ce, ce,
+            force * bmask, fm1 * pos_w, fm1 * neg_w, fm1), (new_eta,)
+
+
+def use_sweep_decimator_fold(batch: FGBatch) -> bool:
+    """The folded sweep applies on the chained fast path for classical
+    (adaptor-free) SP; PDP_SWEEP_DEC_FOLD=off reverts to separate passes."""
+    import os
+    from pdp_solver_tpu.ops.pallas_fused import use_chained_pass
+    if os.environ.get("PDP_SWEEP_DEC_FOLD", "auto") == "off":
+        return False
+    return use_chained_pass(batch)
+
+
+def survey_propagate_with_decimator_agg(cfg: SurveyPropagatorConfig,
+                                        batch: FGBatch, prop_state,
+                                        dec_state, edge_mask, active_edge,
+                                        active_clauses):
+    """One classical SP sweep that ALSO returns the sequential decimator's
+    combined convergence+scorer aggregation ([8, V]), computed inside the
+    chained A+B kernel launch (use_sweep_decimator_fold must hold).
+
+    Returns (SPMessages, (nd [4, V], scorer_agg [4, V])) matching what
+    decimate.sequential_decimator_apply's own fused reduce would produce
+    for these messages - pass it as precomputed_agg.
+    """
+    assert not cfg.include_adaptors
+    from pdp_solver_tpu.ops.pallas_fused import chained_edge_pass
+    v0, v1, v2 = prop_state.var
+    eta_state = prop_state.fn[0]
+    mask = active_edge
+    em = edge_mask
+    sign = batch.edge_sign
+    u_like = dec_state.var[0]
+    eta_in = dec_state.fn[0]
+    force = dec_state.fn[1]
+    interp = jax.default_backend() != "tpu"
+
+    _, vred, (new_eta,) = chained_edge_pass(
+        _sp_chain_f1_dec, _sp_chain_f2_dec, _sp_chain_f3_dec,
+        node_cols=(), gather_ids=batch.edge_var,
+        clause_cols=(active_clauses,),
+        edge_cols=(u_like, eta_in, em, mask, eta_state, sign, force,
+                   batch.edge_mask),
+        clause_width=batch.clause_width,
+        num_clauses=batch.num_clauses,
+        num_segments=batch.num_vars,
+        n_cred=1, n_cout=0, n_bcast=2, n_vred=10, n_eout=1,
+        interpret=interp)
+    pn = vred[0:2]
+    nd = vred[2:6]
+    scorer_agg = vred[6:10]
+
+    from pdp_solver_tpu.ops.pallas_fused import fused_edge_pass
+    _, (nv0, nv1, nv2) = fused_edge_pass(
+        _sp_pass_c(float(cfg.pi)),
+        node_cols=(pn[0], pn[1]), gather_ids=batch.edge_var,
+        edge_cols=(eta_in, em, mask, sign, force, v0, v1, v2),
+        n_eout=3, interpret=interp)
+    return (SPMessages(var=(nv0, nv1, nv2), fn=(new_eta, force)),
+            (nd, scorer_agg))
+
+
 def survey_propagator_apply(params, cfg: SurveyPropagatorConfig,
                             batch: FGBatch, prop_state, dec_state,
                             edge_mask, active_edge):

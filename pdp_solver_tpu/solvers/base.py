@@ -456,12 +456,26 @@ class PDPSolver:
             active0 = batch.instance_mask
             em0 = jnp.ones_like(batch.edge_mask) * batch.edge_mask
 
+        # classical p-d-p on the chained fast path: the decimator's combined
+        # convergence+scorer reduce rides the sweep kernel itself - one whole
+        # edge pass per iteration disappears (propagate.py fold)
+        fold_dec = (t == "p-d-p" and check_termination
+                    and scorer_tail is not None and not is_training
+                    and PR.use_sweep_decimator_fold(batch))
+
         def iteration(carry, it):
             problem, state, active_b, em, ae, rng = carry
             rng, r_p, r_d, r_pr = jax.random.split(rng, 4)
 
-            prop = self._propagate(params, r_p, batch, state.prop, state.dec,
-                                   em, ae, is_training, meta_e)
+            prop_agg = None
+            if fold_dec:
+                prop, prop_agg = PR.survey_propagate_with_decimator_agg(
+                    self.prop_cfg, batch, state.prop, state.dec, em, ae,
+                    problem.active_clauses)
+            else:
+                prop = self._propagate(params, r_p, batch, state.prop,
+                                       state.dec, em, ae, is_training,
+                                       meta_e)
 
             if t in ("np-nd-np", "p-nd-np"):
                 dec = D.neural_decimator_apply(params["dec"], self.dec_cfg,
@@ -472,7 +486,7 @@ class PDPSolver:
                 aux, problem, maybe_active = D.sequential_decimator_apply(
                     self.dec_cfg, scorer_fn, batch, state.aux, prop, problem,
                     em, active_b if check_termination else None,
-                    scorer_tail_fn=scorer_tail)
+                    scorer_tail_fn=scorer_tail, precomputed_agg=prop_agg)
                 if check_termination:
                     active_b = maybe_active
                 if is_training:
