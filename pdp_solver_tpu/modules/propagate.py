@@ -193,6 +193,33 @@ def _sp_pass_c(pi):
     return f
 
 
+@functools.lru_cache(maxsize=None)
+def _sp_pass_c_lean(pi):
+    def f(gathered, edge_vals):
+        """q_u only (sweep pass C, folded p-d-p path): the classical
+        sequential-decimation loop consumes only q_u (the next sweep's
+        u_like) and eta (the scorer/convergence input), so q_s/q_dc are
+        dead state there - dropping them saves four edge streams."""
+        pos, neg = gathered
+        eta_in, em, mask, sign, force, v0 = edge_vals
+        lm = safe_log(1.0 - eta_in, LOG_EPS_PROP) * em
+        same = 0.5 * (1 + sign) * pos + 0.5 * (1 - sign) * neg - lm
+        same = same + safe_log(
+            1.0 - pi * jnp.where(force == sign, 1.0, 0.0), LOG_EPS_PROP)
+        opp = 0.5 * (1 - sign) * pos + 0.5 * (1 + sign) * neg
+        opp = opp + safe_log(
+            1.0 - pi * jnp.where(force == -sign, 1.0, 0.0), LOG_EPS_PROP)
+        s = safe_exp(same)
+        o = safe_exp(opp)
+        d = safe_exp(same + opp)
+        q_u = s * (1.0 - o)
+        q_s = o * (1.0 - s)
+        total = q_u + q_s + d
+        nv0 = mask * (q_u / total) + (1.0 - mask) * v0
+        return (), (nv0,)
+    return f
+
+
 def _use_fused_pass(batch: FGBatch) -> bool:
     from pdp_solver_tpu.ops.pallas_fused import use_fused_pass
     return use_fused_pass(batch)
@@ -271,6 +298,154 @@ def _sp_chain_f3_dec(bcast, gathered, edge_vals):
             force * bmask, fm1 * pos_w, fm1 * neg_w, fm1), (new_eta,)
 
 
+# chained A+B with the decimator reduce AND the next-iteration edge masks
+# folded in: em = active_var * active_clause * pad factorizes per edge, with
+# the 0/1 clause factor applied exactly at the clause stage (f2), so the
+# sweep needs no em/ae edge streams at all - active_vars and the per-var
+# instance flag ride the kernel's existing one-hot as node columns, and the
+# separate edge_masks_pair launch per iteration disappears. em/ae are
+# emitted as edge outputs for the C pass.
+def _sp_chain_f1_mask(gathered, edge_vals):
+    av_e = gathered[0]
+    u_in, bm = edge_vals[0], edge_vals[5]
+    # partial log_u: the clause activity factor lands at f2/f3 (exact -
+    # active_clauses is 0/1)
+    return (safe_log(u_in, LOG_EPS_PROP) * av_e * bm,)
+
+
+def _sp_chain_f2_mask(cred, clause_vals):
+    ac = clause_vals[0]
+    return (), (cred[0] * ac, ac)
+
+
+def _sp_chain_f3_mask(bcast, gathered, edge_vals):
+    from pdp_solver_tpu.ops.segment import LOG_EPS_SCORE
+    cl_sum, ac_e = bcast
+    av_e, ai_e = gathered[0], gathered[1]   # [2] = solution (verify fold)
+    u_in, eta_in, eta_state, sign, force, bm = edge_vals
+    em = av_e * ac_e * bm
+    ae = ai_e
+    log_u = safe_log(u_in, LOG_EPS_PROP) * em
+    eta = safe_exp(cl_sum - log_u)
+    new_eta = ae * eta + (1.0 - ae) * eta_state
+    lm = safe_log(1.0 - eta_in, LOG_EPS_PROP) * em
+    pos_w = jnp.where(sign == 1, 1.0, 0.0)
+    neg_w = jnp.where(sign == -1, 1.0, 0.0)
+    diff = jnp.abs(eta_state - new_eta) * em
+    cd = safe_exp(30.0 * diff) * bm
+    ce = safe_exp(30.0 * new_eta) * bm
+    em_s = ac_e * bm
+    fm1 = safe_log(1.0 - new_eta, LOG_EPS_SCORE) * em_s
+    return (lm * pos_w, lm * neg_w,
+            diff * cd, cd, new_eta * ce, ce,
+            force * bm, fm1 * pos_w, fm1 * neg_w, fm1), (new_eta, em, ae)
+
+
+def use_sweep_mask_fold(batch: FGBatch) -> bool:
+    import os
+    if os.environ.get("PDP_SWEEP_MASK_FOLD", "auto") == "off":
+        return False
+    return use_sweep_decimator_fold(batch)
+
+
+# mask fold + the CNF verification of the current (pre-decimation) solution:
+# the solution rides the kernel's one-hot as a third node column, literal
+# satisfaction is a second clause-reduce column, and the per-instance
+# (max_sat, got_sat) counts ride the in-kernel instance reduce - the
+# separate cnf_evaluate launch per solver iteration disappears. The solver
+# applies the result BEFORE this iteration's decimation, which sees exactly
+# the active_b trajectory of the split path (the in-loop identity predictor
+# is solution-preserving, so verifying sol_{i-1} here equals the split
+# path's end-of-iteration-(i-1) verification).
+def _sp_chain_f1_maskv(gathered, edge_vals):
+    av_e, _, sol_e = gathered
+    u_in, sign, bm = edge_vals[0], edge_vals[3], edge_vals[5]
+    lit = sign * sol_e + (1.0 - sign) / 2.0
+    sat = jnp.where(lit > 0.5, 1.0, 0.0) * bm
+    return (safe_log(u_in, LOG_EPS_PROP) * av_e * bm, sat)
+
+
+def _sp_chain_f2_maskv(cred, clause_vals):
+    ac, cm = clause_vals
+    clause_sat = jnp.where(cred[1] > 0, 1.0, 0.0) * cm
+    return (), (cred[0] * ac, ac), (cm, clause_sat)
+
+
+def use_sweep_verify_fold(batch: FGBatch) -> bool:
+    import os
+    from pdp_solver_tpu.ops.pallas_fused import IWIN
+    if os.environ.get("PDP_SWEEP_VERIFY_FOLD", "auto") == "off":
+        return False
+    return use_sweep_mask_fold(batch) and batch.batch_size <= IWIN
+
+
+def survey_propagate_folded_masks(cfg: SurveyPropagatorConfig,
+                                  batch: FGBatch, prop_state, dec_state,
+                                  problem, active_instances, verify=False):
+    """One classical SP sweep computing its OWN edge masks in-kernel from
+    the problem/termination state (use_sweep_mask_fold must hold), plus the
+    decimator aggregation of survey_propagate_with_decimator_agg.
+
+    Returns (SPMessages, (nd, scorer_agg), em, ae) where em/ae match
+    problem.state.edge_masks_pair(batch, problem, active_instances) exactly.
+    With verify=True (use_sweep_verify_fold must hold) additionally returns
+    (max_sat, got_sat) per instance - train.loss.cnf_evaluate of
+    problem.solution in the same launch.
+    """
+    assert not cfg.include_adaptors
+    from pdp_solver_tpu.ops.pallas_fused import (
+        chained_edge_pass, fused_edge_pass)
+    v0, v1, v2 = prop_state.var
+    eta_state = prop_state.fn[0]
+    sign = batch.edge_sign
+    u_like = dec_state.var[0]
+    eta_in = dec_state.fn[0]
+    force = dec_state.fn[1]
+    interp = jax.default_backend() != "tpu"
+
+    node_cols = (problem.active_vars, active_instances[batch.var_batch])
+    clause_cols = (problem.active_clauses,)
+    kw = {}
+    if verify:
+        node_cols += (problem.solution,)
+        clause_cols += (batch.clause_mask,)
+        kw = dict(n_ired=2, clause_batch=batch.clause_batch,
+                  num_instances=batch.batch_size)
+    outs = chained_edge_pass(
+        (_sp_chain_f1_maskv if verify else _sp_chain_f1_mask),
+        (_sp_chain_f2_maskv if verify else _sp_chain_f2_mask),
+        _sp_chain_f3_mask,
+        node_cols=node_cols,
+        gather_ids=batch.edge_var,
+        clause_cols=clause_cols,
+        edge_cols=(u_like, eta_in, eta_state, sign, force,
+                   batch.edge_mask),
+        clause_width=batch.clause_width,
+        num_clauses=batch.num_clauses,
+        num_segments=batch.num_vars,
+        n_cred=(2 if verify else 1), n_cout=0, n_bcast=2, n_vred=10,
+        n_eout=3, interpret=interp, **kw)
+    if verify:
+        _, vred, (new_eta, em, ae), iout = outs
+        counts = (iout[0], iout[1])
+    else:
+        _, vred, (new_eta, em, ae) = outs
+    pn = vred[0:2]
+    nd = vred[2:6]
+    scorer_agg = vred[6:10]
+
+    _, (nv0,) = fused_edge_pass(
+        _sp_pass_c_lean(float(cfg.pi)),
+        node_cols=(pn[0], pn[1]), gather_ids=batch.edge_var,
+        edge_cols=(eta_in, em, ae, sign, force, v0),
+        n_eout=1, interpret=interp)
+    # q_s/q_dc are dead in this loop (docstring); v1/v2 pass through stale
+    msgs = SPMessages(var=(nv0, v1, v2), fn=(new_eta, force))
+    if verify:
+        return msgs, (nd, scorer_agg), em, ae, counts
+    return msgs, (nd, scorer_agg), em, ae
+
+
 def use_sweep_decimator_fold(batch: FGBatch) -> bool:
     """The folded sweep applies on the chained fast path for classical
     (adaptor-free) SP; PDP_SWEEP_DEC_FOLD=off reverts to separate passes."""
@@ -321,12 +496,13 @@ def survey_propagate_with_decimator_agg(cfg: SurveyPropagatorConfig,
     scorer_agg = vred[6:10]
 
     from pdp_solver_tpu.ops.pallas_fused import fused_edge_pass
-    _, (nv0, nv1, nv2) = fused_edge_pass(
-        _sp_pass_c(float(cfg.pi)),
+    _, (nv0,) = fused_edge_pass(
+        _sp_pass_c_lean(float(cfg.pi)),
         node_cols=(pn[0], pn[1]), gather_ids=batch.edge_var,
-        edge_cols=(eta_in, em, mask, sign, force, v0, v1, v2),
-        n_eout=3, interpret=interp)
-    return (SPMessages(var=(nv0, nv1, nv2), fn=(new_eta, force)),
+        edge_cols=(eta_in, em, mask, sign, force, v0),
+        n_eout=1, interpret=interp)
+    # q_s/q_dc are dead in this loop (docstring); v1/v2 pass through stale
+    return (SPMessages(var=(nv0, v1, v2), fn=(new_eta, force)),
             (nd, scorer_agg))
 
 

@@ -462,13 +462,36 @@ class PDPSolver:
         fold_dec = (t == "p-d-p" and check_termination
                     and scorer_tail is not None and not is_training
                     and PR.use_sweep_decimator_fold(batch))
+        # the mask fold additionally computes em/ae inside the sweep kernel,
+        # so the per-iteration edge_masks_pair launch disappears and the
+        # loop-carried masks become dead pass-throughs
+        fold_masks = fold_dec and PR.use_sweep_mask_fold(batch)
+        # the verify fold additionally rides the CNF check of the current
+        # solution on the sweep's instance reduce; applied before this
+        # iteration's decimation it reproduces the split path's active_b
+        # trajectory exactly (the in-loop identity predictor is
+        # solution-preserving), except that the sweep's own freeze mask and
+        # the loop-exit test lag the final verification by one iteration
+        fold_verify = fold_masks and PR.use_sweep_verify_fold(batch)
 
         def iteration(carry, it):
             problem, state, active_b, em, ae, rng = carry
             rng, r_p, r_d, r_pr = jax.random.split(rng, 4)
 
             prop_agg = None
-            if fold_dec:
+            if fold_verify:
+                prop, prop_agg, em, ae, (max_sat, got_sat) = \
+                    PR.survey_propagate_folded_masks(
+                        self.prop_cfg, batch, state.prop, state.dec,
+                        problem, active_b, verify=True)
+                solved = (max_sat == got_sat).astype(jnp.float32)
+                solved = _group_any(solved, replication)
+                active_b = active_b * (solved <= 0.5).astype(jnp.float32)
+            elif fold_masks:
+                prop, prop_agg, em, ae = PR.survey_propagate_folded_masks(
+                    self.prop_cfg, batch, state.prop, state.dec, problem,
+                    active_b)
+            elif fold_dec:
                 prop, prop_agg = PR.survey_propagate_with_decimator_agg(
                     self.prop_cfg, batch, state.prop, state.dec, em, ae,
                     problem.active_clauses)
@@ -505,7 +528,7 @@ class PDPSolver:
                 if check_termination:
                     active_b = maybe_active
 
-            if check_termination:
+            if check_termination and not fold_verify:
                 # the predictors that read em (np-nd-np / p-nd-np) pair with
                 # the neural decimator, which never mutates the problem, so
                 # the carried (pre-decimation) em is identical for them;
@@ -529,7 +552,10 @@ class PDPSolver:
                 active_b = active_b * (solved <= 0.5).astype(jnp.float32)
 
             # next iteration's masks, fused into one dual-gather dispatch
-            em, ae = edge_masks_pair(batch, problem, active_b)
+            # (under the mask fold the next sweep computes them in-kernel,
+            # so the carried values are dead pass-throughs)
+            if not fold_masks:
+                em, ae = edge_masks_pair(batch, problem, active_b)
 
             return (problem, SolverState(prop, dec, aux), active_b, em, ae,
                     rng)

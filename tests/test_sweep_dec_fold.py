@@ -24,6 +24,19 @@ def fused_env(monkeypatch):
     monkeypatch.setenv("PDP_FUSED_PASS", "on")
 
 
+def _assert_live_messages_match(msgs_split, msgs_fold, prop):
+    """The folded paths keep only the messages the p-d-p loop consumes:
+    q_u (var[0]), eta and force; q_s/q_dc pass through stale."""
+    np.testing.assert_allclose(msgs_split.var[0], msgs_fold.var[0],
+                               rtol=1e-6, atol=1e-6)
+    for a, b in zip(msgs_split.fn, msgs_fold.fn):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(prop.var[1]),
+                                  np.asarray(msgs_fold.var[1]))
+    np.testing.assert_array_equal(np.asarray(prop.var[2]),
+                                  np.asarray(msgs_fold.var[2]))
+
+
 def _setup(k=4, seed=0):
     rng = np.random.default_rng(seed)
     cls = [random_ksat(rng, 24, 72, k) for _ in range(5)]
@@ -48,9 +61,7 @@ def test_fold_messages_and_agg_match_split(fused_env):
         lambda p: PR.survey_propagate_with_decimator_agg(
             cfg, batch, p, p, em, ae, problem.active_clauses))(prop)
 
-    for a, b in zip(jax.tree_util.tree_leaves(msgs_split),
-                    jax.tree_util.tree_leaves(msgs_fold)):
-        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+    _assert_live_messages_match(msgs_split, msgs_fold, prop)
 
     # reference columns: the decimator's own fused reduce on the new
     # messages with prev_eta = the sweep's input eta (the p-d-p invariant)
@@ -68,10 +79,69 @@ def test_fold_messages_and_agg_match_split(fused_env):
                                np.asarray(nd8[4:]), rtol=1e-5, atol=1e-6)
 
 
-def _solve(monkeypatch, fold, seed=3):
+def test_mask_fold_messages_and_masks_match_split(fused_env):
+    from pdp_solver_tpu.problem.state import edge_masks_pair
+    batch, problem, prop = _setup(seed=5)
+    assert PR.use_sweep_mask_fold(batch)
+    cfg = PR.SurveyPropagatorConfig(include_adaptors=False, pi=0.0)
+    # a non-trivial mask state: deactivate some vars/clauses/instances
+    problem = problem._replace(
+        active_vars=jnp.asarray(problem.active_vars).at[::7].set(0.0),
+        active_clauses=jnp.asarray(problem.active_clauses).at[::5].set(0.0))
+    active_b = jnp.asarray(batch.instance_mask).at[1].set(0.0)
+    em, ae = jax.jit(lambda p, a: edge_masks_pair(batch, p, a))(
+        problem, active_b)
+
+    msgs_split = jax.jit(lambda p: PR.survey_propagator_apply(
+        {}, cfg, batch, p, p, em, ae))(prop)
+    msgs_fold, (nd, sa), em_f, ae_f = jax.jit(
+        lambda p: PR.survey_propagate_folded_masks(
+            cfg, batch, p, p, problem, active_b))(prop)
+
+    np.testing.assert_array_equal(np.asarray(em), np.asarray(em_f))
+    np.testing.assert_array_equal(np.asarray(ae), np.asarray(ae_f))
+    _assert_live_messages_match(msgs_split, msgs_fold, prop)
+
+
+def test_verify_fold_counts_match_cnf_evaluate(fused_env):
+    from pdp_solver_tpu.train.loss import cnf_evaluate
+    batch, problem, prop = _setup(seed=7)
+    assert PR.use_sweep_verify_fold(batch)
+    cfg = PR.SurveyPropagatorConfig(include_adaptors=False, pi=0.0)
+    # a partially-decimated solution state
+    sol = (jax.random.uniform(jax.random.PRNGKey(9),
+                              (batch.num_vars,)) > 0.5).astype(jnp.float32)
+    problem = problem._replace(solution=sol)
+    active_b = jnp.asarray(batch.instance_mask)
+
+    msgs_v, agg_v, em_v, ae_v, (max_sat, got_sat) = jax.jit(
+        lambda p: PR.survey_propagate_folded_masks(
+            cfg, batch, p, p, problem, active_b, verify=True))(prop)
+    msgs, agg, em, ae = jax.jit(
+        lambda p: PR.survey_propagate_folded_masks(
+            cfg, batch, p, p, problem, active_b))(prop)
+
+    solved_ref, unsat_ref = jax.jit(
+        lambda s: cnf_evaluate(batch, s[:, None]))(sol)
+    solved = (max_sat == got_sat).astype(jnp.float32)
+    np.testing.assert_array_equal(np.asarray(solved), np.asarray(solved_ref))
+    np.testing.assert_array_equal(np.asarray(max_sat - got_sat),
+                                  np.asarray(unsat_ref))
+    # the sweep itself must be untouched by the extra columns
+    for a, b in zip(jax.tree_util.tree_leaves((msgs_v, agg_v, em_v, ae_v)),
+                    jax.tree_util.tree_leaves((msgs, agg, em, ae))):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def _solve(monkeypatch, fold, seed=3, mask_fold=True, verify_fold=True,
+           m=110):
     monkeypatch.setenv("PDP_SWEEP_DEC_FOLD", "auto" if fold else "off")
+    monkeypatch.setenv("PDP_SWEEP_MASK_FOLD",
+                       "auto" if mask_fold else "off")
+    monkeypatch.setenv("PDP_SWEEP_VERIFY_FOLD",
+                       "auto" if verify_fold else "off")
     rng = np.random.default_rng(seed)
-    cls = [random_ksat(rng, 30, 110, 4) for _ in range(6)]
+    cls = [random_ksat(rng, 30, m, 4) for _ in range(6)]
     batch = pack_instances([cnf_instance(30, c) for c in cls])
     solver = PDPSolver(SolverConfig(
         model_type="p-d-p", tolerance=0.1, t_max=10,
@@ -86,6 +156,14 @@ def _solve(monkeypatch, fold, seed=3):
 
 
 def test_full_pdp_solve_fold_matches_split(fused_env, monkeypatch):
-    a = _solve(monkeypatch, fold=True)
-    b = _solve(monkeypatch, fold=False)
+    # hard instances (alpha ~9.3) so the loop exhausts its budget in every
+    # variant: the verify fold's loop-exit test lags one iteration when
+    # everything solves early, which would shift the finalize rng
+    kw = dict(m=280)
+    b = _solve(monkeypatch, fold=False, **kw)
+    a = _solve(monkeypatch, fold=True, **kw)
+    c = _solve(monkeypatch, fold=True, mask_fold=False, **kw)
+    d = _solve(monkeypatch, fold=True, verify_fold=False, **kw)
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(c, b, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(d, b, rtol=1e-5, atol=1e-6)
