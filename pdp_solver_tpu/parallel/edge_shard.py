@@ -130,7 +130,7 @@ def make_edge_sharded_sp(graph_template: EdgeShardedGraph, n_iters, *,
     sharded = shard_map(
         device_fn, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=(P(), (P(axis), P(axis))))
+        out_specs=(P(), (P(axis), P(axis))), check_vma=False)
 
     @jax.jit
     def run(graph: EdgeShardedGraph, var_state, fn_state):
@@ -352,7 +352,7 @@ def make_edge_sharded_solver(graph_template: EdgeShardedGraph, *,
     sharded = shard_map(
         device_fn, mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=(P(), P(), P(), (P(axis), P(axis))))
+        out_specs=(P(), P(), P(), (P(axis), P(axis))), check_vma=False)
 
     @jax.jit
     def run(graph: EdgeShardedGraph, var_state, fn_state, rng):

@@ -91,10 +91,13 @@ def make_parallel_train_step(solver, optimizer, *, t_outer=1, t_inner=1,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    # check_vma=False everywhere shard_map wraps the solver: the Pallas
+    # kernels' ShapeDtypeStruct out_shapes carry no vma annotation, which
+    # JAX >= 0.9 rejects when the (default-on) vma check is active
     sharded = shard_map(
         device_step, mesh=mesh,
         in_specs=(P(), P(), P(), P(axis_name), P(axis_name)),
-        out_specs=(P(), P(), P()))
+        out_specs=(P(), P(), P()), check_vma=False)
 
     @jax.jit
     def train_step(params, opt_state, global_step, rngs, batches):
@@ -128,7 +131,7 @@ def make_parallel_solve(solver, iteration_num, *, replication=1, mesh=None,
     sharded = shard_map(
         device_solve, mesh=mesh,
         in_specs=(P(), P(axis_name), P(axis_name), P(axis_name)),
-        out_specs=(P(axis_name), P()))
+        out_specs=(P(axis_name), P()), check_vma=False)
 
     @jax.jit
     def solve(params, rngs, batches, states):
@@ -192,7 +195,7 @@ def make_replica_parallel_solve(solver, iteration_num, *, mesh,
     sharded = shard_map(
         device_solve, mesh=mesh,
         in_specs=(P(), P(dp_axis, rep_axis), P(dp_axis)),
-        out_specs=(P(dp_axis), P()))
+        out_specs=(P(dp_axis), P()), check_vma=False)
 
     @jax.jit
     def solve(params, rngs, batches):
