@@ -149,12 +149,20 @@ def main():
         min_edges = int(os.environ.get(
             "BENCH_MIN_EDGES",
             "131072" if jax.default_backend() == "tpu" else "32768"))
+        # the fault-tolerance mirror copies the full solver state+carry
+        # device->host; over the tunneled TPU link that is a multi-second
+        # tax when taken every 50-iteration chunk, so mirror sparsely there
+        # (a fault then re-runs at most mirror_every chunks - still cheap)
+        mirror_every = int(os.environ.get(
+            "BENCH_MIRROR_EVERY",
+            "8" if jax.default_backend() == "tpu" else "1"))
 
         def compact_run():
             _, solved_list, stats = compacting_solve(
                 solver, {}, r_fwd, insts, iters,
                 ls_iterations=ls_iters, chunk=chunk or 50,
-                min_edges=min_edges, schedule=schedule)
+                min_edges=min_edges, schedule=schedule,
+                mirror_every=mirror_every)
             return sum(solved_list), stats
 
     # warm-up: compile every distinct program the timed run will execute,
