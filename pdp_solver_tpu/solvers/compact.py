@@ -262,6 +262,11 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
     mirror = ((jax.tree_util.tree_map(np.asarray, state), None)
               if resilient else None)
     mirror_done = 0
+    # rng + chunk counter snapshot at the mirror point: a fault must replay
+    # the lost chunks with the SAME keys and keep the mirror cadence
+    # (chunks % mirror_every) aligned with the restored state
+    mirror_rng = rng
+    mirror_chunks = 0
     t0 = time.time()
     while done < iterations and live:
         rng, r = jax.random.split(rng)
@@ -280,6 +285,14 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
                 mirror = (jax.tree_util.tree_map(np.asarray, state),
                           jax.tree_util.tree_map(np.asarray, carry))
                 mirror_done = done + n
+                mirror_rng = rng
+                mirror_chunks = stats["chunks"] + 1
+            # blocking per-chunk reads INSIDE the try: the jitted chunk is
+            # async, so on non-mirrored chunks (mirror_every > 1) a device
+            # fault first surfaces at this host sync — it must hit the same
+            # handler that restores from the mirror
+            active_b = np.asarray(carry[1])[:len(live)]
+            solved_b = np.asarray(sv)[:len(live)]
         except Exception:
             if not resilient or chunk <= min_chunk:
                 raise
@@ -288,16 +301,16 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
             state = jax.device_put(mirror[0])
             carry = (None if mirror[1] is None
                      else jax.device_put(mirror[1]))
-            # `done` tracks the mirror: chunks since the last mirror are
-            # lost and re-run (only matters when mirror_every > 1)
+            # `done`/rng/chunk-counter track the mirror: chunks since the
+            # last mirror are lost and replayed with identical keys (only
+            # matters when mirror_every > 1)
             done = mirror_done
+            rng = mirror_rng
+            stats["chunks"] = mirror_chunks
             continue
         done += n
         sv_aligned = True
         stats["chunks"] += 1
-
-        active_b = np.asarray(carry[1])[:len(live)]
-        solved_b = np.asarray(sv)[:len(live)]
         finished = [s for s in range(len(live)) if active_b[s] <= 0]
         if not finished:
             continue
@@ -336,6 +349,8 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
                     # the next chunk would restore stale-shaped arrays
                     mirror = (new_state_h, new_carry_h)
                     mirror_done = done
+                    mirror_rng = rng
+                    mirror_chunks = stats["chunks"]
                 live = [live[s] for s in keep]
                 batch, slices = tentative, new_slices
                 # cap at 4x: oversized chunks delay the all-done exit by up

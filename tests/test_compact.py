@@ -204,6 +204,43 @@ def test_compacting_solve_recovers_from_fault(rng):
             assert check_assignment(cl, sol)
 
 
+def test_compacting_solve_sparse_mirror_recovers(rng):
+    """With sparse mirrors (mirror_every=3) a fault on a later, non-mirrored
+    chunk must rewind to the last mirror — done counter, rng stream, and
+    chunk-counter cadence — replay the lost chunks, and still produce
+    verified solutions (advisor round-2 findings)."""
+    insts, clause_lists = _mixed_instances(rng, counts=((30, 3.0),), per=6)
+    solver = PDPSolver(SolverConfig(
+        model_type="p-d-p", tolerance=0.02, t_max=100,
+        local_search_iterations=200, epsilon=0.5))
+    from pdp_solver_tpu.solvers.compact import _compact_fns
+    fns = _compact_fns(solver)
+    calls = {"n": 0}
+
+    def wrap(fn):
+        def f(*args, **kw):
+            calls["n"] += 1
+            # chunk 4: mirrors were taken at chunk-counter 0 and (cadence 3)
+            # would next fire here, so chunks 2-3 are unmirrored and lost
+            if calls["n"] == 4:
+                raise RuntimeError("injected device fault")
+            return fn(*args, **kw)
+        return f
+
+    solver._compact_jit_fns = (wrap(fns[0]), wrap(fns[1]), fns[2])
+    try:
+        solutions, solved, stats = compacting_solve(
+            solver, {}, jax.random.PRNGKey(0), insts, 150,
+            chunk=25, min_edges=0, min_chunk=5, mirror_every=3)
+    finally:
+        solver._compact_jit_fns = fns
+    assert stats["faults"] == 1
+    assert sum(solved) >= 4
+    for sol, ok, cl in zip(solutions, solved, clause_lists):
+        if ok:
+            assert check_assignment(cl, sol)
+
+
 def test_unpack_instances_roundtrip(rng):
     """pack -> unpack -> pack must reproduce the batch exactly."""
     insts, _ = _mixed_instances(rng)
