@@ -24,6 +24,12 @@ import numpy as np
 
 
 def main():
+    # persistent compilation cache: the bench's program ladder is
+    # deterministic, so every run after the first starts warm (the cold
+    # warm-up was 178s of pure recompilation, BENCH_r02.json)
+    from pdp_solver_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 
@@ -224,6 +230,41 @@ def main():
     walls.sort()
     wall = walls[len(walls) // 2]
 
+    # reference-settings row: the SAME protocol at the reference's own
+    # algorithm settings (tolerance 0.02, single attempt — no restart
+    # schedule; compaction stays on, it is pure infrastructure), so the
+    # bench JSON records a vs_baseline ratio at algorithm-identical
+    # hyperparameters next to the tuned headline
+    ref_settings = None
+    if os.environ.get("BENCH_REF_SETTINGS", "1") != "0" and use_compact:
+        from pdp_solver_tpu.solvers.compact import compacting_solve
+
+        solver_rs = PDPSolver(SolverConfig(
+            model_type="p-d-p", tolerance=0.02, t_max=100,
+            local_search_iterations=ls_iters, epsilon=0.5))
+
+        def ref_settings_run():
+            _, solved_list, _ = compacting_solve(
+                solver_rs, {}, r_fwd, insts, iters,
+                ls_iterations=ls_iters, chunk=chunk or 50,
+                min_edges=min_edges, schedule=None,
+                mirror_every=mirror_every)
+            return sum(solved_list)
+
+        try:
+            ref_settings_run()  # warm-up (compiles its own tol-0.02 ladder)
+            t0 = time.time()
+            rs_solved = ref_settings_run()
+            rs_wall = time.time() - t0
+            ref_settings = {
+                "tolerance": 0.02, "attempts": 1,
+                "solved_fraction": rs_solved / count,
+                "wall_s": round(rs_wall, 3),
+                "verified_solutions_per_sec": round(rs_solved / rs_wall, 4),
+            }
+        except Exception:
+            ref_settings = None
+
     # per-iteration slope between 50 and 150 iterations with walksat off,
     # the identical protocol to tools/measure_reference.py (termination
     # active, budgets small enough that instances stay in the active solve
@@ -334,6 +375,9 @@ def main():
     value = solved / wall
     ref_rate = (ref["solved"] / ref["wall_s"]) if ref else None
     vs = (value / ref_rate) if ref_rate else None  # None for absent OR 0.0
+    if ref_settings is not None and ref_rate:
+        ref_settings["vs_baseline"] = round(
+            ref_settings["verified_solutions_per_sec"] / ref_rate, 2)
 
     print(json.dumps({
         "metric": "pdp_4sat_verified_solutions_per_sec",
@@ -353,6 +397,7 @@ def main():
         "wall_s": round(wall, 3),
         "wall_samples_s": [round(w, 3) for w in walls],
         "phases": phases,
+        "reference_settings": ref_settings,
         "compaction": (None if compact_stats is None else {
             "ladder": compact_stats["compactions"],
             "pdp_wall_s": compact_stats["pdp_wall_s"],

@@ -19,6 +19,8 @@ from pdp_solver_tpu.utils.config import (
 
 def run(config, logger, output):
     # import here so JAX platform env decisions (e.g. -c) apply first
+    from pdp_solver_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from pdp_solver_tpu.train.trainer import SatTrainer
 
     if config["verbose"]:

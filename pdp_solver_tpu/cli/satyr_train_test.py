@@ -33,6 +33,8 @@ def run(random_seed, config_file, is_training, load_model, cpu, reset_step,
         use_generator, batch_replication):
     if cpu:
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    from pdp_solver_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from pdp_solver_tpu.fg.generators import make_generator
     from pdp_solver_tpu.train.trainer import SatTrainer
 

@@ -178,6 +178,36 @@ class VariableModularCNFGenerator(ModularCNFGenerator):
         return n, m, m * min(self._max_k, n - 1)
 
 
+class MixtureCNFGenerator(CNFGeneratorBase):
+    """Weighted mixture of sub-generators: each generate() call draws one
+    component by weight. Used for curriculum-style training streams (e.g.
+    the reference's broad uniform k-SAT recipe blended with extra mass on
+    the evaluation bands). max_dims is the elementwise worst case, so
+    fixed-shape loaders stay valid for every component."""
+
+    def __init__(self, components, weights=None, seed=None):
+        if not components:
+            raise ValueError("MixtureCNFGenerator needs >= 1 component")
+        self._components = list(components)
+        w = np.asarray(weights if weights is not None
+                       else [1.0] * len(components), np.float64)
+        self._weights = w / w.sum()
+        self._rng = np.random.default_rng(seed)
+
+    def reseed(self, seed):
+        self._rng = np.random.default_rng(seed)
+        for i, g in enumerate(self._components):
+            g.reseed(None if seed is None else seed * 1000003 + i)
+
+    def generate(self):
+        i = int(self._rng.choice(len(self._components), p=self._weights))
+        return self._components[i].generate()
+
+    def max_dims(self):
+        dims = [g.max_dims() for g in self._components]
+        return tuple(max(d[i] for d in dims) for i in range(3))
+
+
 def make_generator(config: dict, seed=None) -> CNFGeneratorBase:
     """Build a generator from reference config keys
     (satyr-train-test.py:87-95)."""

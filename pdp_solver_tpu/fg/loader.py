@@ -103,7 +103,8 @@ class BatchLoader:
     def __init__(self, input_file=None, generator=None, epoch_size=0,
                  batch_size=5000, limit=40000000, hidden_dim=3,
                  batch_replication=1, shuffle=False, granularity=2.0,
-                 fixed_shape=False, seed=0, max_cache_size=100000):
+                 fixed_shape=False, fixed_dims=None, seed=0,
+                 max_cache_size=100000):
         self._generator = generator
         self._epoch_size = epoch_size
         self._batch_size = batch_size
@@ -112,6 +113,15 @@ class BatchLoader:
         self._shuffle = shuffle
         self._granularity = granularity
         self._fixed_shape = fixed_shape
+        # explicit (V, F, E, B) pad dims for fixed-shape mode. The default
+        # (generator.max_dims() scaled by the memory cap) pads every segment
+        # to the worst SINGLE instance times the instance cap, which for
+        # wide generator ranges is ~5x the expected size — segments then
+        # carry 2-3 real instances in an 80%-padding batch. Passing expected
+        # aggregate dims instead packs segments densely (the greedy fill in
+        # _emit already handles per-instance overflow by starting a new
+        # segment).
+        self._fixed_dims = fixed_dims
         self._rng = np.random.default_rng(seed)
         self._instances = None
         if input_file is not None:
@@ -136,7 +146,9 @@ class BatchLoader:
             for i in idx:
                 yield self._instances[i]
 
-    def _fixed_dims(self):
+    def _fixed_dims_default(self):
+        if self._fixed_dims is not None:
+            return tuple(self._fixed_dims)
         v, f, e = self._generator.max_dims()
         b = self._batch_size
         cap = self._limit // max(e * self._hidden_dim, 1)
@@ -152,8 +164,8 @@ class BatchLoader:
         segment of each macro-batch - the reference's global_step increments
         once per macro-batch (base.py:144-145), not once per segment."""
         macro = []
-        fixed = self._fixed_dims() if (self._fixed_shape and
-                                       self._generator is not None) else None
+        fixed = self._fixed_dims_default() if (
+            self._fixed_shape and self._generator is not None) else None
         for inst in self._iter_instances():
             macro.append(inst)
             if len(macro) >= self._batch_size:
@@ -173,6 +185,11 @@ class BatchLoader:
             seg, sv = [], [0, 0, 0]
             for inst in macro:
                 d = (inst[0], inst[1], inst[2].shape[1])
+                if d[0] > pv or d[1] > pf or d[2] > pe:
+                    raise ValueError(
+                        f"instance dims {d} exceed fixed pad dims "
+                        f"({pv}, {pf}, {pe}); raise fixed_dims or shrink "
+                        "the generator's max instance size")
                 if seg and (sv[0] + d[0] > pv or sv[1] + d[1] > pf
                             or sv[2] + d[2] > pe or len(seg) >= pb):
                     groups.append(seg)

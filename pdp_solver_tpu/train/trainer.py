@@ -96,17 +96,29 @@ class SatTrainer:
         alpha = float(c.get("exploration", 1.0))
         kappa = float(c.get("loss_sharpness", 1))
         randomized = bool(c.get("randomized", True))
+        # rematerialize each outer BPTT step: without it the T-step unroll
+        # holds every per-edge GRU activation alive through the backward
+        # pass — 19.5 GB HBM at E=131072/T=10, an OOM on one v5e chip;
+        # with per-step checkpoints memory is O(E*h) instead of O(T*E*h)
+        # at the cost of one extra forward
+        remat = bool(c.get("train_remat", True))
         optimizer = self._optimizer
 
         def loss_fn(params, rng, batch, global_step):
             r_state, rng = jax.random.split(rng)
             state = solver.get_init_state(r_state, batch, randomized)
+
+            def step_t(params, state, r_fwd):
+                return solver.forward(
+                    params, r_fwd, batch, state, t_inner,
+                    is_training=True, check_termination=False)
+
+            if remat:
+                step_t = jax.checkpoint(step_t)
             loss = jnp.zeros(())
             for t in range(t_outer):
                 rng, r_fwd = jax.random.split(rng)
-                (var_pred, _), state = solver.forward(
-                    params, r_fwd, batch, state, t_inner,
-                    is_training=True, check_termination=False)
+                (var_pred, _), state = step_t(params, state, r_fwd)
                 step_loss = energy_loss(batch, var_pred, global_step,
                                         alpha, kappa)
                 loss = loss + step_loss * (lam ** (t_outer - t - 1))
@@ -123,6 +135,26 @@ class SatTrainer:
                               train_state.global_step), loss
 
         return train_step
+
+    def _train_step_seeded_fn(self, base_seed=0):
+        """Like _train_step_fn but takes an i32 step index instead of a PRNG
+        key and derives the key INSIDE the jitted program.
+
+        On the tunneled TPU backend every eager op is a device round-trip;
+        the host-side jax.random.split per step (plus its D2H of the new
+        key) serialises the dispatch pipeline and dominates the step time.
+        With the key folded in-program from (base_seed, step) the host loop
+        is pure dispatch and the device pipelines batches back-to-back."""
+        inner = self._train_step_fn()
+
+        def train_step(train_state: TrainState, step, batch: FGBatch):
+            rng = jax.random.fold_in(
+                jax.random.PRNGKey(base_seed), step.astype(jnp.uint32))
+            return inner(train_state, rng, batch)
+
+        # inner is already jitted; jitting the wrapper fuses the fold_in
+        # into the same program (one dispatch per step)
+        return jax.jit(train_step)
 
     def train(self, train_files, validation_files, last_export_path=None,
               best_export_path=None, metric_index=0, load_model=None,

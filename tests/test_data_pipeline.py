@@ -121,6 +121,44 @@ def test_loader_generator_fixed_shape():
     assert total == 12
 
 
+def test_loader_generator_fixed_dims_dense():
+    """Explicit fixed_dims pack many instances per segment (the default
+    worst-case dims leave segments ~80% padding for wide generators)."""
+    g = UniformCNFGenerator(5, 10, 2, 3, 2.0, 3.0, seed=0)
+    loader = BatchLoader(generator=g, epoch_size=64, batch_size=64,
+                         limit=10 ** 9, hidden_dim=8, fixed_shape=True,
+                         fixed_dims=(128, 512, 1024, 16))
+    shapes, total, seg_fill = set(), 0, []
+    for batch, _ in loader:
+        shapes.add((batch.num_vars, batch.num_clauses, batch.num_edges,
+                    batch.batch_size))
+        real = int(np.asarray(batch.instance_mask).sum())
+        total += real
+        seg_fill.append(real)
+    assert shapes == {(128, 512, 1024, 16)}
+    assert total == 64
+    assert max(seg_fill) >= 8  # dense: many instances per segment
+
+    # an instance bigger than the pad dims must fail loudly
+    import pytest
+    big = BatchLoader(generator=g, epoch_size=2, batch_size=2,
+                      limit=10 ** 9, hidden_dim=8, fixed_shape=True,
+                      fixed_dims=(4, 4, 4, 2))
+    with pytest.raises(ValueError):
+        list(big)
+
+
+def test_mixture_generator():
+    from pdp_solver_tpu.fg.generators import MixtureCNFGenerator
+    a = UniformCNFGenerator(5, 10, 2, 3, 2.0, 3.0, seed=0)
+    b = UniformCNFGenerator(20, 30, 4, 4, 8.0, 9.0, seed=0)
+    mix = MixtureCNFGenerator([a, b], weights=[0.5, 0.5], seed=1)
+    assert mix.max_dims() == tuple(
+        max(x, y) for x, y in zip(a.max_dims(), b.max_dims()))
+    ns = [mix.generate()[0] for _ in range(40)]
+    assert any(n <= 10 for n in ns) and any(n >= 20 for n in ns)
+
+
 def test_lazy_dataset_mode(tmp_path, monkeypatch):
     import pdp_solver_tpu.fg.loader as L
     lines = [clauses_to_line(3, [[1, -2], [2, 3]], -1.0, [f"i{i}"])
