@@ -11,11 +11,15 @@ per sweep is O(V + F) instead of O(E).
 
 Provided:
   * make_edge_sharded_sp     - SP sweeps + marginal scorer (marginals only)
-  * make_edge_sharded_solver - the FULL p-d-p solve on one sharded CNF:
-    SP sweeps, convergence-gated greedy decimation, unit-prop + peel
-    simplification, and termination, all with psum-reduced node state
-    (replicated [V]/[F] arrays, edge arrays sharded). The decimation
-    argmax runs on replicated data so every shard picks the same variable.
+  * make_edge_sharded_solver - the FULL p-d-p solve on a sharded batch
+    (B >= 1 packed instances): SP sweeps, convergence-gated greedy
+    decimation, unit-prop + peel simplification, per-instance termination,
+    AND the epsilon-greedy WalkSAT local-search phase (reference
+    solver.py:433-467) with psum-reduced break counts — all with
+    replicated [V]/[F]/[B] node state and sharded edge arrays. Decimation
+    and flip argmaxes run on replicated data so every shard stays in
+    lockstep.
+  * shard_batch              - shard a packed FGBatch's edge list
 """
 
 from typing import NamedTuple
@@ -41,28 +45,90 @@ class EdgeShardedGraph(NamedTuple):
     num_clauses: int
 
 
-def shard_instance(n, m, gmap, signs, n_shards, pad_multiple=128):
-    """Split one instance's edges into n_shards contiguous, padded shards."""
-    E = gmap.shape[1]
+class EdgeShardedBatch(NamedTuple):
+    """B >= 1 packed instances (fg/batch.py layout), edge-sharded. Node
+    space ([V]/[F]/[B] arrays) stays replicated across shards."""
+    edge_var: jnp.ndarray      # i32[S, Es]
+    edge_clause: jnp.ndarray   # i32[S, Es]
+    edge_sign: jnp.ndarray     # f32[S, Es]
+    edge_mask: jnp.ndarray     # f32[S, Es]
+    var_batch: jnp.ndarray     # i32[V] instance id per variable
+    clause_batch: jnp.ndarray  # i32[F]
+    var_mask: jnp.ndarray      # f32[V]
+    clause_mask: jnp.ndarray   # f32[F]
+    instance_mask: jnp.ndarray  # f32[B]
+    num_vars: int
+    num_clauses: int
+    batch_size: int
+
+
+def _shard_edge_arrays(ev, ec, es, E, n_shards, pad_multiple):
     per = -(-E // n_shards)
     per = -(-per // pad_multiple) * pad_multiple
-    ev = np.zeros((n_shards, per), np.int32)
-    ec = np.zeros((n_shards, per), np.int32)
-    es = np.zeros((n_shards, per), np.float32)
-    em = np.zeros((n_shards, per), np.float32)
+    sv = np.zeros((n_shards, per), np.int32)
+    sc = np.zeros((n_shards, per), np.int32)
+    ss = np.zeros((n_shards, per), np.float32)
+    sm = np.zeros((n_shards, per), np.float32)
     for s in range(n_shards):
         lo, hi = s * per, min((s + 1) * per, E)
         k = max(hi - lo, 0)
         if k > 0:
-            ev[s, :k] = gmap[0, lo:hi]
-            ec[s, :k] = gmap[1, lo:hi]
-            es[s, :k] = signs[lo:hi]
-            em[s, :k] = 1.0
+            sv[s, :k] = ev[lo:hi]
+            sc[s, :k] = ec[lo:hi]
+            ss[s, :k] = es[lo:hi]
+            sm[s, :k] = 1.0
+    return sv, sc, ss, sm
+
+
+def shard_batch(batch, n_shards, pad_multiple=128) -> EdgeShardedBatch:
+    """Shard a packed FGBatch's edge list into n_shards contiguous padded
+    shards; node-space arrays are carried replicated."""
+    ev = np.asarray(batch.edge_var)
+    ec = np.asarray(batch.edge_clause)
+    es = np.asarray(batch.edge_sign)
+    em = np.asarray(batch.edge_mask)
+    real = em > 0
+    sv, sc, ss, sm = _shard_edge_arrays(
+        ev[real], ec[real], es[real], int(real.sum()), n_shards,
+        pad_multiple)
+    return EdgeShardedBatch(
+        edge_var=jnp.asarray(sv), edge_clause=jnp.asarray(sc),
+        edge_sign=jnp.asarray(ss), edge_mask=jnp.asarray(sm),
+        var_batch=jnp.asarray(np.asarray(batch.var_batch, np.int32)),
+        clause_batch=jnp.asarray(np.asarray(batch.clause_batch, np.int32)),
+        var_mask=jnp.asarray(np.asarray(batch.var_mask, np.float32)),
+        clause_mask=jnp.asarray(np.asarray(batch.clause_mask, np.float32)),
+        instance_mask=jnp.asarray(
+            np.asarray(batch.instance_mask, np.float32)),
+        num_vars=int(batch.num_vars), num_clauses=int(batch.num_clauses),
+        batch_size=int(batch.batch_size))
+
+
+def shard_instance(n, m, gmap, signs, n_shards, pad_multiple=128):
+    """Split one instance's edges into n_shards contiguous, padded shards."""
+    ev, ec, es, em = _shard_edge_arrays(
+        gmap[0], gmap[1], signs, gmap.shape[1], n_shards, pad_multiple)
     return EdgeShardedGraph(edge_var=jnp.asarray(ev),
                             edge_clause=jnp.asarray(ec),
                             edge_sign=jnp.asarray(es),
                             edge_mask=jnp.asarray(em),
                             num_vars=int(n), num_clauses=int(m))
+
+
+def _as_batch(graph) -> EdgeShardedBatch:
+    """Promote a single-instance EdgeShardedGraph to a B=1 batch."""
+    if isinstance(graph, EdgeShardedBatch):
+        return graph
+    V, F = graph.num_vars, graph.num_clauses
+    return EdgeShardedBatch(
+        edge_var=graph.edge_var, edge_clause=graph.edge_clause,
+        edge_sign=graph.edge_sign, edge_mask=graph.edge_mask,
+        var_batch=jnp.zeros((V,), jnp.int32),
+        clause_batch=jnp.zeros((F,), jnp.int32),
+        var_mask=jnp.ones((V,), jnp.float32),
+        clause_mask=jnp.ones((F,), jnp.float32),
+        instance_mask=jnp.ones((1,), jnp.float32),
+        num_vars=V, num_clauses=F, batch_size=1)
 
 
 def make_edge_sharded_sp(graph_template: EdgeShardedGraph, n_iters, *,
@@ -155,23 +221,40 @@ def init_states(graph: EdgeShardedGraph, rng, randomized=True):
     return v, f
 
 
-def make_edge_sharded_solver(graph_template: EdgeShardedGraph, *,
+def make_edge_sharded_solver(graph_template, *,
                              mesh: Mesh, axis="es", iteration_num=200,
-                             tolerance=0.02, t_max=100.0):
-    """Full SP-guided decimation (p-d-p, B=1) on one edge-sharded CNF.
+                             tolerance=0.02, t_max=100.0,
+                             ls_iterations=0, epsilon=0.5):
+    """Full SP-guided decimation (p-d-p) on an edge-sharded batch.
 
-    Single-instance port of the solver loop (solvers/base.py:_forward_core +
-    modules/decimate.py sequential decimator + problem/simplify.py fused
-    round), with every edges->nodes reduce replaced by a shard-local
-    segment_sum + psum. Node state (active_vars [V], active_clauses [F],
-    solution [V]) is replicated; decimation decisions are computed from
-    replicated data, so all shards stay in lockstep.
+    Port of the solver loop (solvers/base.py:_forward_core + the sequential
+    decimator modules/decimate.py + problem/simplify.py fused round + the
+    WalkSAT post-processor solvers/base.py:_local_search, matching reference
+    src/pdp/nn/solver.py:324-496) with every edges->nodes reduce replaced by
+    a shard-local segment_sum + psum. Node state (active_vars [V],
+    active_clauses [F], solution [V], per-instance flags [B]) is replicated;
+    decimation and flip decisions are computed from replicated data, so all
+    shards stay in lockstep.
+
+    `graph_template` is an EdgeShardedBatch (B >= 1) or a single-instance
+    EdgeShardedGraph (promoted to B=1). With ls_iterations > 0, instances
+    whose decimation stalls get the epsilon-greedy WalkSAT phase on the
+    still-active subgraph — sharded break counts via the same psum pattern.
 
     Returns jitted run(graph, var_state, fn_state, rng) ->
-    (solution01 [V], solved f32[], iterations_used f32[]).
+    (solution01 [V], solved f32[B], iterations_used f32[], states).
     """
-    V = graph_template.num_vars
-    F = graph_template.num_clauses
+    tmpl = _as_batch(graph_template)
+    V = tmpl.num_vars
+    F = tmpl.num_clauses
+    B = tmpl.batch_size
+    # node-space structure is part of the compiled program (it defines the
+    # packing layout, like the shapes themselves)
+    vb = jnp.asarray(tmpl.var_batch)
+    cb = jnp.asarray(tmpl.clause_batch)
+    var_mask_c = jnp.asarray(tmpl.var_mask)
+    clause_mask_c = jnp.asarray(tmpl.clause_mask)
+    imask_c = jnp.asarray(tmpl.instance_mask)
 
     def device_fn(rng, ev, ec, es, em, var_state, fn_state):
         ev, ec, es, em = ev[0], ec[0], es[0], em[0]
@@ -182,6 +265,26 @@ def make_edge_sharded_solver(graph_template: EdgeShardedGraph, *,
 
         def csum(x_e):
             return jax.lax.psum(segment_sum(x_e, ec, F), axis)
+
+        # replicated node space -> per-instance reductions are local ops
+        def bsum_v(x_v):
+            return segment_sum(x_v, vb, B, indices_are_sorted=True)
+
+        def bsum_f(x_f):
+            return segment_sum(x_f, cb, B, indices_are_sorted=True)
+
+        def argmax_first_v(x_v, valid):
+            """Per-instance argmax with first-index tie-break (parity with
+            ops/segment.py segment_argmax_first). Returns (idx [B], max [B]);
+            idx == V for instances with no valid entry."""
+            neg = jnp.float32(-3.0e38)
+            xm = jnp.where(valid > 0, x_v, neg)
+            m = jax.ops.segment_max(xm, vb, B, indices_are_sorted=True)
+            is_max = (valid > 0) & (xm >= m[vb])
+            idx = jax.ops.segment_min(
+                jnp.where(is_max, jnp.arange(V, dtype=jnp.int32), V),
+                vb, B, indices_are_sorted=True)
+            return idx, m
 
         pos_w = (es == 1).astype(jnp.float32)
         neg_w = (es == -1).astype(jnp.float32)
@@ -217,7 +320,7 @@ def make_edge_sharded_solver(graph_template: EdgeShardedGraph, *,
                     - safe_exp(safe_log(q0, LOG_EPS_SCORE) - total))
 
         def simplify_round(carry):
-            av, af, sol, unsat, changed = carry
+            av, af, sol, unsat_b, changed = carry
             av_e = av[ev]
             sol_e = sol[ev]
             lit_true = jnp.where(es > 0, sol_e >= 1.0, sol_e <= 0.0)
@@ -235,13 +338,14 @@ def make_edge_sharded_solver(graph_template: EdgeShardedGraph, *,
             degree_v = vsum(c_e)
             signed_degree_v = vsum(es * c_e)
 
-            # single instance: a unit conflict makes the formula UNSAT -
-            # deactivate everything (mirrors the batched fused round)
-            conflict = jnp.sum(((jnp.abs(var_eval) != input_num)
-                                .astype(jnp.float32)) * av) >= 1
-            unsat = jnp.maximum(unsat, conflict.astype(jnp.float32))
-            av = jnp.where(conflict, 0.0, av)
-            af_new = jnp.where(conflict, 0.0, af_new)
+            # a unit conflict makes ITS instance UNSAT: deactivate that
+            # instance's nodes only (mirrors the batched fused round)
+            conflict_v = ((jnp.abs(var_eval) != input_num)
+                          .astype(jnp.float32)) * av
+            conflict_b = (bsum_v(conflict_v) >= 1).astype(jnp.float32)
+            unsat_b = jnp.maximum(unsat_b, conflict_b)
+            av = av * (1.0 - conflict_b[vb])
+            af_new = af_new * (1.0 - conflict_b[cb])
 
             forced = ((input_num > 0)
                       & (jnp.abs(var_eval) == input_num)).astype(jnp.float32) * av
@@ -255,68 +359,124 @@ def make_edge_sharded_solver(graph_template: EdgeShardedGraph, *,
             sol = jnp.where(fixed > 0, (value + 1.0) / 2.0, sol)
             av = jnp.where(deact > 0, 0.0, av)
             changed = (removed + jnp.sum(deact)
-                       + conflict.astype(jnp.float32)) > 0
-            return av, af_new, sol, unsat, changed
+                       + jnp.sum(conflict_b)) > 0
+            return av, af_new, sol, unsat_b, changed
 
-        def simplify(av, af, sol, unsat):
+        def simplify(av, af, sol, unsat_b):
             def cond(c):
                 return c[4]
 
             carry = jax.lax.while_loop(
-                cond, simplify_round, (av, af, sol, unsat,
+                cond, simplify_round, (av, af, sol, unsat_b,
                                        jnp.sum(em) >= 0))
             return carry[0], carry[1], carry[2], carry[3]
 
         def iteration(carry):
-            (var_state, fn_state, av, af, sol, unsat, prev_eta, counter,
+            (var_state, fn_state, av, af, sol, unsat_b, prev_eta, counter_b,
              has_prev, it, rng) = carry
             e_mask = av[ev] * af[ec] * em
             new_var, new_fn = sweep(var_state, fn_state, e_mask)
             eta = new_fn[:, 0]
 
-            # convergence: smooth-max of |prev - eta| per var, max over vars
+            # convergence: smooth-max of |prev - eta| per var, then max
+            # over each instance's vars (modules/decimate.py _smax_scorer)
             diff = jnp.abs(prev_eta - eta) * e_mask
             coeff = safe_exp(30.0 * diff) * em
             nd_n = vsum(diff * coeff)
             nd_d = vsum(coeff)
             diff_v = nd_n / jnp.maximum(nd_d, 1.0) * av
-            diff_max = jnp.max(diff_v)
+            diff_b = jax.ops.segment_max(diff_v, vb, B,
+                                         indices_are_sorted=True)
 
-            gate = has_prev * (jnp.sum(av) > 0)
-            converged = (diff_max < tolerance).astype(jnp.float32)
-            old_counter = counter
-            counter = jnp.where(converged > 0, 0.0, counter)
-            timeout = (counter >= t_max).astype(jnp.float32)
-            flag = jnp.maximum(converged, timeout) * gate
-            counter = jnp.where(timeout > 0, 0.0, counter) + 1.0
+            gate_b = has_prev * (bsum_v(av) > 0).astype(jnp.float32)
+            converged_b = (diff_b < tolerance).astype(jnp.float32)
+            old_counter = counter_b
+            counter_b = jnp.where(converged_b > 0, 0.0, counter_b)
+            timeout_b = (counter_b >= t_max).astype(jnp.float32)
+            flag_b = jnp.maximum(converged_b, timeout_b) * gate_b
+            counter_b = jnp.where(timeout_b > 0, 0.0, counter_b) + 1.0
             # counter effects only apply behind the gate (first iteration
             # keeps its original value, like the batched decimator)
-            counter = gate * counter + (1.0 - gate) * old_counter
+            counter_b = gate_b * counter_b + (1.0 - gate_b) * old_counter
 
             score = score_fn(eta, af, e_mask)
             coeff_v = jnp.abs(score) * av
-            decimate = flag * (jnp.sum(coeff_v) != 0)
-            best = jnp.argmax(coeff_v)
-            assignment = jnp.zeros((V,)).at[best].set(
-                jnp.sign(score[best]) * decimate)
+            best_idx, _ = argmax_first_v(coeff_v, av)
+            decimate_b = flag_b * (bsum_v(coeff_v) != 0)
+            sel_v = ((jnp.arange(V, dtype=jnp.int32) == best_idx[vb])
+                     & (decimate_b[vb] > 0))
 
             def do_decimate(args):
-                av, af, sol, unsat = args
-                assigned = jnp.abs(assignment) == 1
-                av2 = jnp.where(assigned, 0.0, av)
-                sol2 = jnp.where(assigned, (assignment + 1.0) / 2.0, sol)
-                return simplify(av2, af, sol2, unsat)
+                av, af, sol, unsat_b = args
+                av2 = jnp.where(sel_v, 0.0, av)
+                sol2 = jnp.where(sel_v, (jnp.sign(score) + 1.0) / 2.0, sol)
+                return simplify(av2, af, sol2, unsat_b)
 
-            av, af, sol, unsat = jax.lax.cond(
-                decimate > 0, do_decimate, lambda a: a,
-                (av, af, sol, unsat))
+            av, af, sol, unsat_b = jax.lax.cond(
+                jnp.sum(decimate_b) > 0, do_decimate, lambda a: a,
+                (av, af, sol, unsat_b))
 
-            return (new_var, new_fn, av, af, sol, unsat, eta, counter,
+            return (new_var, new_fn, av, af, sol, unsat_b, eta, counter_b,
                     jnp.ones_like(has_prev), it + 1.0, rng)
 
         def cond(carry):
             af, it = carry[3], carry[9]
             return jnp.logical_and(it < iteration_num, jnp.sum(af) > 0)
+
+        def walksat(rng, av, af, sol):
+            """Epsilon-greedy WalkSAT on the still-active subgraph, sharded
+            break counts (reference solver.py:433-467 / the unsharded
+            solvers/base.py:_local_search). Returns (sol01 [V],
+            energy [B])."""
+            rng, r_init = jax.random.split(rng)
+            noise01 = (jax.random.uniform(r_init, (V,))
+                       > 0.5).astype(jnp.float32)
+            assign = av * (2.0 * noise01 - 1.0)
+            e_mask = av[ev] * af[ec] * em
+            arange_v = jnp.arange(V, dtype=jnp.int32)
+
+            def energies(assign):
+                dist = es * assign[ev] * em
+                deg_e = av[ev] * em
+                agg_f = csum(dist)
+                degree_f = csum(deg_e)
+                unsat_f = ((agg_f == -degree_f).astype(jnp.float32) * af)
+                return dist, agg_f, degree_f, unsat_f, bsum_f(unsat_f)
+
+            def body(carry):
+                assign, rng, it, _ = carry
+                rng, r_coin, r_rand = jax.random.split(rng, 3)
+                dist, agg_f, degree_f, unsat_f, energy_b = energies(assign)
+                unsat_b = ((energy_b > 0).astype(jnp.float32) * imask_c)
+                done = jnp.sum(unsat_b) <= 0
+
+                # critical edges: clause decided solely by this literal
+                critical = (((agg_f[ec] - dist) == (1.0 - degree_f[ec]))
+                            .astype(jnp.float32) * e_mask)
+                delta = vsum(critical * dist)
+                unsat_v = ((vsum(unsat_f[ec] * em) * av)
+                           > 0).astype(jnp.float32)
+
+                best_idx, _ = argmax_first_v(-delta, var_mask_c)
+                noise = unsat_v * jax.random.uniform(r_rand, (V,))
+                rand_idx, _ = argmax_first_v(noise, var_mask_c)
+                coin = jax.random.uniform(r_coin, (B,)) > epsilon
+                chosen = jnp.where(coin, best_idx, rand_idx)
+                sel = ((arange_v == chosen[vb]) & (unsat_b[vb] > 0))
+                assign = jnp.where(sel, -assign, assign)
+                return assign, rng, it + 1.0, done
+
+            def ws_cond(carry):
+                it, done = carry[2], carry[3]
+                return jnp.logical_and(it < ls_iterations,
+                                       jnp.logical_not(done))
+
+            zero_it = jnp.sum(em) * 0.0
+            assign, _, _, _ = jax.lax.while_loop(
+                ws_cond, body, (assign, rng, zero_it, zero_it > 1.0))
+            _, _, _, _, energy_b = energies(assign)
+            sol_ws = jnp.where(av > 0, (assign + 1.0) / 2.0, sol)
+            return sol_ws, energy_b
 
         # node state rides the while_loop carry next to the (sharded,
         # varying) edge state, so it must enter with matching varying type;
@@ -324,25 +484,34 @@ def make_edge_sharded_solver(graph_template: EdgeShardedGraph, *,
         def varying(x):
             return jax.lax.pcast(x, axis, to="varying")
 
-        av0 = varying(jnp.ones((V,), jnp.float32))
-        af0 = varying(jnp.ones((F,), jnp.float32))
+        av0 = varying(var_mask_c)
+        af0 = varying(clause_mask_c)
         sol0 = varying(0.5 * jnp.ones((V,), jnp.float32))
         zero = jnp.sum(em) * 0.0
+        unsat0 = jnp.zeros((B,), jnp.float32) + zero
+        counter0 = jnp.zeros((B,), jnp.float32) + zero
         # pre-solve simplification (simplify_first, solvers/base.py:289-290)
-        av0, af0, sol0, unsat0 = simplify(av0, af0, sol0, zero)
+        av0, af0, sol0, unsat0 = simplify(av0, af0, sol0, unsat0)
         carry = (var_state, fn_state, av0, af0, sol0, unsat0,
-                 jnp.zeros_like(em), zero, zero, zero, varying(rng))
+                 jnp.zeros_like(em), counter0, zero, zero, varying(rng))
         carry = jax.lax.while_loop(cond, iteration, carry)
         var_state, fn_state = carry[0], carry[1]
-        av, af, sol, unsat, it = (carry[2], carry[3], carry[4], carry[5],
-                                  carry[9])
+        av, af, sol, unsat_b, it = (carry[2], carry[3], carry[4], carry[5],
+                                    carry[9])
 
-        # still-active variables get uniform random fill (identity predictor
-        # last call, pdp_predict.py:118-128)
-        noise = (jax.random.uniform(rng, (V,)) > 0.5).astype(jnp.float32)
-        sol = jnp.where(av > 0, noise, sol)
-        # a conflict empties the graph too; it must never read as solved
-        solved = ((jnp.sum(af) == 0).astype(jnp.float32) * (1.0 - unsat))
+        if ls_iterations > 0:
+            # local-search phase rescues instances whose decimation stalled
+            sol, energy_b = walksat(carry[10], av, af, sol)
+            solved = ((energy_b <= 0).astype(jnp.float32)
+                      * (1.0 - unsat_b) * imask_c)
+        else:
+            # still-active variables get uniform random fill (identity
+            # predictor last call, pdp_predict.py:118-128)
+            noise = (jax.random.uniform(rng, (V,)) > 0.5).astype(jnp.float32)
+            sol = jnp.where(av > 0, noise, sol)
+            # a conflict empties the graph too; must never read as solved
+            solved = ((bsum_f(af) == 0).astype(jnp.float32)
+                      * (1.0 - unsat_b) * imask_c)
         # collapse the identical replicas back to an invariant output
         sol = jax.lax.pmax(sol, axis)
         solved = jax.lax.pmax(solved, axis)
