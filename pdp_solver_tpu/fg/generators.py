@@ -57,7 +57,14 @@ class UniformCNFGenerator(CNFGeneratorBase):
         alpha = r.uniform(self._min_alpha, self._max_alpha)
         m = max(1, int(n * alpha))
         kmax = min(self._max_k, n - 1)
-        lengths = r.integers(self._min_k, kmax + 1, size=m)
+        if kmax < self._min_k:
+            # n too small for the requested clause length (the reference
+            # crashes inside np.random here, generator.py:113); clamp to
+            # the only feasible length instead
+            kmax = max(kmax, 1)
+            lengths = np.full(m, kmax, np.int64)
+        else:
+            lengths = r.integers(self._min_k, kmax + 1, size=m)
         E = int(lengths.sum())
         ev = np.empty(E, dtype=np.int32)
         ec = np.empty(E, dtype=np.int32)
