@@ -62,10 +62,15 @@ def main():
     theta = float(os.environ.get("BENCH_DEC_THETA", "1.0"))
     guard = float(os.environ.get("BENCH_DEC_GUARD", "0"))
     tol = float(os.environ.get("BENCH_TOL", "0.05"))
+    # lazy simplification: cap post-decimation simplify rounds per
+    # iteration (deferred propagation, problem/simplify.py); 0 = reference
+    # fixed-point semantics
+    srounds = int(os.environ.get("BENCH_SIMPLIFY_ROUNDS", "0"))
     solver = PDPSolver(SolverConfig(
         model_type="p-d-p", tolerance=tol, t_max=100,
         local_search_iterations=ls_iters, epsilon=0.5,
-        decimation_threshold=theta, decimation_guard=guard))
+        decimation_threshold=theta, decimation_guard=guard,
+        simplify_rounds=srounds))
 
     def solve(rng, batch, state, n_iters):
         (pred, _), _ = solver.forward(

@@ -176,6 +176,10 @@ class SeqDecimatorConfig:
     # <= decimation_guard fall back to the argmax-only rule, where single
     # careful steps matter most (0 = multi-variable all the way down)
     decimation_guard: float = 0.0
+    # cap on post-decimation simplify rounds per iteration (lazy
+    # simplification — see problem/simplify.py fused_simplify); 0 = run to
+    # the fixed point, the reference semantics
+    simplify_rounds: int = 0
 
 
 def sequential_decimator_apply(cfg: SeqDecimatorConfig,
@@ -324,7 +328,8 @@ def sequential_decimator_apply(cfg: SeqDecimatorConfig,
 
     problem = jax.lax.cond(
         jnp.sum(decimate_b) > 0,
-        lambda p: fused_set_variables(batch, p, assignment),
+        lambda p: fused_set_variables(batch, p, assignment,
+                                      max_rounds=cfg.simplify_rounds),
         lambda p: p,
         problem)
 

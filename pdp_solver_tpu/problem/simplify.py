@@ -371,24 +371,42 @@ def _fused_round_tail(batch, state, active_clauses, removed_any,
     return new_state, changed
 
 
-def fused_simplify(batch: FGBatch, state: ProblemState) -> ProblemState:
-    """Simplify to the unit-prop + peel fixed point in one while_loop."""
+def fused_simplify(batch: FGBatch, state: ProblemState,
+                   max_rounds: int = 0) -> ProblemState:
+    """Simplify to the unit-prop + peel fixed point in one while_loop.
+
+    max_rounds > 0 caps the fixed point ("lazy simplification"): each
+    combined round is a full edge pass, and deep unit-propagation cascades
+    after a decimation are the single largest per-iteration cost in the
+    solve loop. A capped simplify is still CORRECT — it only defers
+    propagation: round 1 always removes the clauses satisfied by the new
+    assignment, and any remaining units/pure literals are recomputed from
+    scratch by the next simplify call (the fixed point is idempotent and
+    monotone — active sets only shrink, forced values never change).
+    Verification reads the solution, so deferral can never create a false
+    "solved"; it can only delay conflict detection by an iteration.
+    0 = run to the fixed point (reference semantics, the default)."""
 
     def cond(carry):
-        _, changed = carry
+        _, changed, rounds = carry
+        if max_rounds > 0:
+            return jnp.logical_and(changed, rounds < max_rounds)
         return changed
 
     def body(carry):
-        state, _ = carry
-        return _fused_round(batch, state)
+        state, _, rounds = carry
+        state, changed = _fused_round(batch, state)
+        return state, changed, rounds + 1
 
-    state, _ = jax.lax.while_loop(
-        cond, body, (state, jnp.sum(batch.edge_mask) >= 0))
+    state, _, _ = jax.lax.while_loop(
+        cond, body, (state, jnp.sum(batch.edge_mask) >= 0,
+                     jnp.zeros((), jnp.int32)))
     return state
 
 
 def fused_set_variables(batch: FGBatch, state: ProblemState,
-                        assignment: jnp.ndarray) -> ProblemState:
+                        assignment: jnp.ndarray,
+                        max_rounds: int = 0) -> ProblemState:
     """Decimation step via the fused loop: write the assignment, deactivate
     the variables, and let the first fused round remove the satisfied
     clauses (subsumes set_variable_core's delta-based satisfied check)."""
@@ -398,4 +416,4 @@ def fused_set_variables(batch: FGBatch, state: ProblemState,
         active_vars=jnp.where(assigned, 0.0, state.active_vars),
         solution=jnp.where(assigned, (assignment + 1.0) / 2.0,
                            state.solution))
-    return fused_simplify(batch, state)
+    return fused_simplify(batch, state, max_rounds=max_rounds)

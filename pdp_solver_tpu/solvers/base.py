@@ -64,6 +64,9 @@ class SolverConfig:
     decimation_threshold: float = 1.0
     # argmax-only end-game once an instance's active-var count <= guard
     decimation_guard: float = 0.0
+    # lazy-simplification cap (problem/simplify.py fused_simplify);
+    # 0 = reference fixed-point semantics
+    simplify_rounds: int = 0
     local_search_iterations: int = 0
     epsilon: float = 0.05
     # 'bfloat16' runs the neural aggregator/GRU/classifier compute in bf16
@@ -176,7 +179,8 @@ class PDPSolver:
             self.dec_cfg = D.SeqDecimatorConfig(
                 tolerance=c.tolerance, t_max=c.t_max,
                 decimation_threshold=c.decimation_threshold,
-                decimation_guard=c.decimation_guard)
+                decimation_guard=c.decimation_guard,
+                simplify_rounds=c.simplify_rounds)
         elif t == "reinforce":
             self.dec_cfg = D.ReinforceDecimatorConfig(
                 decimation_probability=c.decimation_probability)
@@ -830,6 +834,7 @@ def build_solver(config) -> PDPSolver:
         decimation_probability=c.get("decimation_probability", 0.5),
         decimation_threshold=c.get("decimation_threshold", 1.0),
         decimation_guard=c.get("decimation_guard", 0.0),
+        simplify_rounds=int(c.get("simplify_rounds", 0)),
         local_search_iterations=c.get("local_search_iteration", 0),
         epsilon=c.get("epsilon", 0.05),
         compute_dtype=c.get("compute_dtype", "float32"),

@@ -194,7 +194,13 @@ class SatTrainer:
             hidden_dim=c.get("hidden_dim", 3),
             max_cache_size=c.get("max_cache_size", 100000))
 
-        train_step = self._train_step_fn()
+        # seeded step: the PRNG key is folded in-program from the step
+        # index (host-side eager key splits serialise dispatch on remote
+        # backends), and batches are device_put explicitly (implicit H2D
+        # inside dispatch stalls the tunnel)
+        train_step = self._train_step_seeded_fn(
+            base_seed=int(c.get("random_seed", 0)) & 0x7FFFFFFF)
+        step_idx = 0
         epoch_num = int(c.get("epoch_num", 1))
         rep_num = int(c.get("repetition_num", 1))
         errors = np.zeros((3, epoch_num, rep_num), np.float32)
@@ -210,7 +216,9 @@ class SatTrainer:
                 n_total_batches = len(train_loader)
                 for batch, _, macro_done in train_loader.iter_segments():
                     train_state, loss = train_step(
-                        train_state, self._next_rng(), batch)
+                        train_state, np.int32(step_idx & 0x7FFFFFFF),
+                        jax.device_put(batch))
+                    step_idx += 1
                     total_loss += float(loss)
                     n_batches += 1
                     total_examples += int(np.asarray(

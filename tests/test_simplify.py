@@ -205,3 +205,65 @@ def test_fused_round_kernel_path_matches(monkeypatch):
         monkeypatch.delenv("PDP_FUSED_PASS")
         _states_equal(ref_s, got_s)
         _states_equal(ref_a, got_a)
+
+
+def test_fused_simplify_capped_rounds_defer_but_converge():
+    """max_rounds caps the per-call fixed point; repeated capped calls must
+    reach the same fixed point as one uncapped call (lazy simplification is
+    deferral, not loss)."""
+    from pdp_solver_tpu.problem.simplify import fused_simplify
+    # unit chain needing several rounds: (x1)&(-x1|x2)&(-x2|x3)&(-x3|x4)
+    clauses = [[1], [-1, 2], [-2, 3], [-3, 4]]
+    batch, state = _setup(clauses, 4)
+    full = fused_simplify(batch, state)
+
+    capped = fused_simplify(batch, state, max_rounds=1)
+    # after ONE round only the first link has propagated
+    assert float(jnp.sum(capped.active_vars)) > 0
+    for _ in range(5):
+        capped = fused_simplify(batch, capped, max_rounds=1)
+    np.testing.assert_allclose(np.asarray(capped.solution),
+                               np.asarray(full.solution))
+    np.testing.assert_allclose(np.asarray(capped.active_vars),
+                               np.asarray(full.active_vars))
+    np.testing.assert_allclose(np.asarray(capped.active_clauses),
+                               np.asarray(full.active_clauses))
+
+
+def test_solver_with_capped_simplify_still_verifies(rng):
+    """A full p-d-p solve at simplify_rounds=2 must still produce only
+    verified solutions, at a solved count close to the exact fixed point."""
+    from pdp_solver_tpu.solvers.base import PDPSolver, SolverConfig
+    from pdp_solver_tpu.train.loss import cnf_evaluate
+    from tests.helpers import check_assignment, random_ksat
+
+    insts, cls = [], []
+    for _ in range(8):
+        cl = random_ksat(rng, 30, 90, 3)
+        insts.append(cnf_instance(30, cl))
+        cls.append(cl)
+    batch = pack_instances(insts, bucket=False)
+
+    def run(srounds):
+        solver = PDPSolver(SolverConfig(
+            model_type="p-d-p", tolerance=0.02, t_max=100,
+            local_search_iterations=200, epsilon=0.5,
+            simplify_rounds=srounds))
+        r_s, r_f = jax.random.split(jax.random.PRNGKey(3))
+        state = solver.get_init_state(r_s, batch, randomized=True)
+        (pred, _), _ = jax.jit(
+            lambda p, r, b, s: solver.forward(
+                p, r, b, s, 150, is_training=False,
+                check_termination=True))({}, r_f, batch, state)
+        solved, _ = cnf_evaluate(batch, pred)
+        return np.asarray(pred), np.asarray(solved)
+
+    pred_c, solved_c = run(2)
+    _, solved_full = run(0)
+    assert solved_c.sum() >= solved_full.sum() - 1
+    off = 0
+    for inst, cl, ok in zip(insts, cls, solved_c):
+        n = int(inst[0])
+        if ok > 0:
+            assert check_assignment(cl, pred_c[off:off + n, 0])
+        off += n
