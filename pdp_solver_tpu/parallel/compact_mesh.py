@@ -55,7 +55,14 @@ def partition_instances(instances, n_shards):
 
 
 def _common_dims(shard_insts, granularity=2.0):
-    """Elementwise max of each shard's bucketed dims -> one program shape."""
+    """Elementwise max of each shard's bucketed dims -> one program shape.
+
+    The four padded dims are forced pairwise DISTINCT: remap_state
+    classifies state arrays by leading dimension, and per-shard workloads
+    routinely floor several dims at bucket_dims' 128 minimum (e.g. V == B
+    == 128 for a few small instances per shard), which would make the
+    repack raise 'ambiguous packed dims' mid-solve. Bumping a dim up by a
+    few slots only adds padding — every consumer masks it."""
     dims = []
     for insts in shard_insts:
         tot_v = sum(int(i[0]) for i in insts)
@@ -63,7 +70,13 @@ def _common_dims(shard_insts, granularity=2.0):
         tot_e = sum(int(i[2].shape[1]) for i in insts)
         dims.append(bucket_dims(tot_v, tot_f, tot_e, len(insts),
                                 granularity))
-    return tuple(max(d[k] for d in dims) for k in range(4))
+    out = [max(d[k] for d in dims) for k in range(4)]
+    seen = set()
+    for i in (2, 1, 0, 3):        # E canonical, then F, V, B bump upward
+        while out[i] in seen:
+            out[i] += 8
+        seen.add(out[i])
+    return tuple(out)
 
 
 def _mesh_fns(solver, mesh, axis):

@@ -43,8 +43,8 @@ class SatTrainer:
         self._config = dict(config)
         self._logger = logger
         self.solver: PDPSolver = build_solver(config)
-        self._rng = jax.random.PRNGKey(
-            int(config.get("random_seed", seed)) & 0x7FFFFFFF)
+        self._seed = int(config.get("random_seed", seed)) & 0x7FFFFFFF
+        self._rng = jax.random.PRNGKey(self._seed)
         self._rng, r_init = jax.random.split(self._rng)
         self.params = self.solver.init_params(r_init)
         if self._config.get("verbose"):
@@ -198,8 +198,7 @@ class SatTrainer:
         # index (host-side eager key splits serialise dispatch on remote
         # backends), and batches are device_put explicitly (implicit H2D
         # inside dispatch stalls the tunnel)
-        train_step = self._train_step_seeded_fn(
-            base_seed=int(c.get("random_seed", 0)) & 0x7FFFFFFF)
+        train_step = self._train_step_seeded_fn(base_seed=self._seed)
         step_idx = 0
         epoch_num = int(c.get("epoch_num", 1))
         rep_num = int(c.get("repetition_num", 1))
@@ -211,7 +210,11 @@ class SatTrainer:
             train_state = restore(train_state)
             for epoch in range(epoch_num):
                 start = time.time()
-                total_loss, n_batches = 0.0, 0
+                # losses stay ON DEVICE until the epoch ends: a per-step
+                # float() would be a blocking host sync that re-serialises
+                # the dispatch pipeline the seeded step exists to unblock
+                step_losses = []
+                n_batches = 0
                 total_examples = 0
                 n_total_batches = len(train_loader)
                 for batch, _, macro_done in train_loader.iter_segments():
@@ -219,7 +222,7 @@ class SatTrainer:
                         train_state, np.int32(step_idx & 0x7FFFFFFF),
                         jax.device_put(batch))
                     step_idx += 1
-                    total_loss += float(loss)
+                    step_losses.append(loss)
                     n_batches += 1
                     total_examples += int(np.asarray(
                         batch.instance_mask).sum())
@@ -237,6 +240,8 @@ class SatTrainer:
                         train_state = train_state._replace(
                             global_step=train_state.global_step + 1.0)
 
+                total_loss = (float(jnp.sum(jnp.stack(step_losses)))
+                              if step_losses else 0.0)
                 losses[epoch, rep] = total_loss / max(total_examples, 1)
                 self.params = train_state.params
                 self.global_step = train_state.global_step

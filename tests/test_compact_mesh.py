@@ -89,6 +89,29 @@ def test_parallel_compacting_ladder_engages(rng):
             assert check_assignment(cl, sol)
 
 
+def test_parallel_compacting_small_shards_repack(rng):
+    """Regression: small per-shard workloads floor several bucket dims at
+    the 128 minimum (V == B == 128), which made the repack's remap raise
+    'ambiguous packed dims' mid-solve. _common_dims must keep the four
+    padded dims pairwise distinct."""
+    insts, clause_lists = [], []
+    for _ in range(32):
+        cl = random_ksat(rng, 20, 56, 3)
+        insts.append(cnf_instance(20, cl))
+        clause_lists.append(cl)
+    solver = PDPSolver(SolverConfig(
+        model_type="p-d-p", tolerance=0.02, t_max=100,
+        local_search_iterations=200, epsilon=0.5))
+    solutions, solved, stats = parallel_compacting_solve(
+        solver, {}, jax.random.PRNGKey(0), insts, 200,
+        mesh=make_mesh(8), chunk=10, min_edges=0)
+    assert stats["compactions"], "repack never exercised"
+    assert sum(solved) >= 28
+    for sol, ok, cl in zip(solutions, solved, clause_lists):
+        if ok:
+            assert check_assignment(cl, sol)
+
+
 def test_parallel_compacting_solve_ls_rescue(rng):
     """Instances the decimation budget cannot finish must be rescued by the
     sharded WalkSAT phase (parked state -> unpark -> per-shard LS)."""

@@ -48,7 +48,7 @@ def iter_slope(solver, batch, state0, r_fwd, chunk=50):
 
     first = jax.jit(lambda r, b, s, n: fixed_step(r, b, s, None, n),
                     static_argnames="n")
-    nxt = jax.jit(fixed_step, static_argnames="n_iters")
+    nxt = jax.jit(fixed_step, static_argnames="n")
 
     def run(n_chunks):
         t0 = time.time()

@@ -140,6 +140,9 @@ def main():
         [mk(4, 100, 2, 10, 2.0, 10.0), mk(4, 100, 3, 3, 2.0, 4.2),
          mk(5, 100, 4, 4, 7.0, 9.9)],
         weights=[0.5, 0.25, 0.25], seed=start_step + 17)
+    # reseed propagates derived seeds into the COMPONENTS too (the ctor
+    # seed only drives component selection) — resume-deterministic stream
+    gen.reseed(start_step + 17)
     loader = BatchLoader(generator=gen, epoch_size=10 ** 9,
                          batch_size=CFG["batch_size"],
                          limit=CFG["train_batch_limit"],
