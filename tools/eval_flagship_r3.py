@@ -19,7 +19,6 @@ Env: EVAL_ITERS (8800), EVAL_LS (1000), EVAL_CHUNK (100), EVAL_DIR (best),
      EVAL_COUNT (64), EVAL_SKIP_UNTRAINED, EVAL_SETS (comma list)
 """
 
-import dataclasses
 import json
 import os
 import sys
@@ -31,32 +30,25 @@ from pdp_solver_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
 import jax
-import numpy as np
 
-from pdp_solver_tpu.fg.batch import pack_instances
-from pdp_solver_tpu.train.loss import cnf_evaluate
+from pdp_solver_tpu.solvers.compact import compacting_solve
 from pdp_solver_tpu.train.trainer import SatTrainer
 from pdp_solver_tpu.utils.benchdata import make_ksat_set
-from pdp_solver_tpu.utils.resilient import resilient_solve
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from train_flagship import CFG  # noqa: E402
 
 
-def solved_fraction_chunked(solver, params, batch, iters, ls_iters,
+def solved_fraction_chunked(solver, params, insts, iters, ls_iters,
                             chunk, seed=7):
-    if ls_iters:
-        solver = type(solver)(dataclasses.replace(
-            solver.cfg, local_search_iterations=ls_iters))
-    r_s, r_f = jax.random.split(jax.random.PRNGKey(seed))
-    state = solver.get_init_state(r_s, batch, randomized=True)
+    """Verified solved fraction through the compacting chunked solve:
+    solved instances are harvested and the survivors repacked, so an 8800
+    iteration budget only pays full cost while instances remain active."""
     t0 = time.time()
-    pred, _ = resilient_solve(solver, {} if params is None else params,
-                              r_f, batch, state, iters, chunk=chunk)
-    solved = jax.jit(lambda b, p: cnf_evaluate(b, p)[0])(batch, pred)
-    mask = np.asarray(batch.instance_mask)
-    frac = float((np.asarray(solved) * mask).sum() / mask.sum())
-    return frac, time.time() - t0
+    _, solved, _ = compacting_solve(
+        solver, {} if params is None else params, jax.random.PRNGKey(seed),
+        insts, iters, ls_iterations=ls_iters, chunk=chunk, mirror_every=8)
+    return sum(solved) / len(insts), time.time() - t0
 
 
 def main():
@@ -70,9 +62,9 @@ def main():
     ckpt = os.path.join(outdir, which)
 
     all_sets = {
-        "3sat_n100_a3.5": lambda: pack_instances(make_ksat_set(
-            seed=21, count=count, n=100, alpha=3.5, k=3)),
-        "4sat_headline": lambda: pack_instances(make_ksat_set()),
+        "3sat_n100_a3.5": lambda: make_ksat_set(
+            seed=21, count=count, n=100, alpha=3.5, k=3),
+        "4sat_headline": lambda: make_ksat_set(),
     }
     wanted = os.environ.get("EVAL_SETS", "")
     names = [s for s in wanted.split(",") if s] or list(all_sets)
@@ -87,10 +79,10 @@ def main():
         trainer = SatTrainer(CFG, seed=0)
         if tag == "trained":
             trainer._load_params(ckpt)
-        for name, batch in sets.items():
+        for name, insts in sets.items():
             for mode, ls_it in (("no_ls", 0), (f"ls{ls}", ls)):
                 frac, wall = solved_fraction_chunked(
-                    trainer.solver, trainer.params, batch, iters, ls_it,
+                    trainer.solver, trainer.params, insts, iters, ls_it,
                     chunk)
                 out[f"{tag}_{name}_{mode}"] = round(frac, 4)
                 out[f"{tag}_{name}_{mode}_wall_s"] = round(wall, 1)

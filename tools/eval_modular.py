@@ -47,10 +47,12 @@ def main():
     n_mod = int(os.environ.get("EVAL_N", 10000))
 
     gens = {
-        # alpha 2.5: below the 3-SAT threshold but far from trivial at this
-        # size; q/c from the reference's modular training band
+        # alpha 3.5: the SP-decimation sweet spot (non-trivial surveys, well
+        # below the 4.27 threshold); q/c from the reference's modular band.
+        # Easier alphas go paramagnetic immediately and dump 10k-var
+        # instances on a 1000-flip WalkSAT budget instead.
         "modular_3sat_n%d" % n_mod: ModularCNFGenerator(
-            3, n_mod, n_mod, 0.8, 0.9, 10, 20, 2.5, 2.5, seed=11),
+            3, n_mod, n_mod, 0.8, 0.9, 10, 20, 3.5, 3.5, seed=11),
         "vmodular_k25_n%d" % (n_mod + 2000,): VariableModularCNFGenerator(
             2, 5, n_mod + 2000, n_mod + 2000, 0.8, 0.9, 10, 20, 2.0, 2.0,
             seed=13),
