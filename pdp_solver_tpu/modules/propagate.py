@@ -165,6 +165,30 @@ def _sp_pass_b(gathered, edge_vals):
     return (lm * pos_w, lm * neg_w), (new_eta,)
 
 
+def q_triplet_stable(same, opp):
+    """(q_u, q_s, q_dc, total) from the log-domain same/opp aggregations.
+
+    Algebraically q_u = e^same(1-e^opp) = e^same - e^{same+opp}, q_s
+    symmetric, q_dc = e^{same+opp}, total = e^same + e^opp - e^{same+opp}.
+    The reference normalises WITHOUT a bias shift (pdp_propagate.py:205
+    even carries a commented-out `bias = 0` placeholder), so at variable
+    degrees beyond ~10 the exponentials of the summed logs underflow to
+    zero and q/total divides 0/0 — NaN surveys for every instance with
+    n >~ 1000 (crash-class reference limitation, fixed here rather than
+    copied; SURVEY.md section 7). Shifting by b = max(same, opp) pins the
+    largest exponential at exactly 1, making total == 1 up to rounding:
+    the division can never produce NaN, and the shift cancels exactly in
+    the ratios."""
+    b = jnp.maximum(same, opp)
+    s = safe_exp(same - b)
+    o = safe_exp(opp - b)
+    d = safe_exp(same + opp - b)
+    q_u = jnp.maximum(s - d, 0.0)
+    q_s = jnp.maximum(o - d, 0.0)
+    total = jnp.maximum(q_u + q_s + d, 1e-20)
+    return q_u, q_s, d, total
+
+
 @functools.lru_cache(maxsize=None)
 def _sp_pass_c(pi):
     def f(gathered, edge_vals):
@@ -180,12 +204,7 @@ def _sp_pass_c(pi):
         opp = 0.5 * (1 - sign) * pos + 0.5 * (1 + sign) * neg
         opp = opp + safe_log(
             1.0 - pi * jnp.where(force == -sign, 1.0, 0.0), LOG_EPS_PROP)
-        s = safe_exp(same)
-        o = safe_exp(opp)
-        d = safe_exp(same + opp)
-        q_u = s * (1.0 - o)
-        q_s = o * (1.0 - s)
-        total = q_u + q_s + d
+        q_u, q_s, d, total = q_triplet_stable(same, opp)
         nv0 = mask * (q_u / total) + (1.0 - mask) * v0
         nv1 = mask * (q_s / total) + (1.0 - mask) * v1
         nv2 = mask * (d / total) + (1.0 - mask) * v2
@@ -209,12 +228,7 @@ def _sp_pass_c_lean(pi):
         opp = 0.5 * (1 - sign) * pos + 0.5 * (1 + sign) * neg
         opp = opp + safe_log(
             1.0 - pi * jnp.where(force == -sign, 1.0, 0.0), LOG_EPS_PROP)
-        s = safe_exp(same)
-        o = safe_exp(opp)
-        d = safe_exp(same + opp)
-        q_u = s * (1.0 - o)
-        q_s = o * (1.0 - s)
-        total = q_u + q_s + d
+        q_u, q_s, d, total = q_triplet_stable(same, opp)
         nv0 = mask * (q_u / total) + (1.0 - mask) * v0
         return (), (nv0,)
     return f
@@ -624,12 +638,7 @@ def survey_propagator_apply(params, cfg: SurveyPropagatorConfig,
     opp = opp + safe_log(
         1.0 - cfg.pi * (force == -sign).astype(jnp.float32), LOG_EPS_PROP)
 
-    s = safe_exp(same)
-    o = safe_exp(opp)
-    d = safe_exp(same + opp)
-    q_u = s * (1.0 - o)
-    q_s = o * (1.0 - s)
-    total = q_u + q_s + d
+    q_u, q_s, d, total = q_triplet_stable(same, opp)
     nv = tuple(mask * q + (1.0 - mask) * v
                for q, v in zip((q_u / total, q_s / total, d / total),
                                (v0, v1, v2)))

@@ -31,6 +31,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from pdp_solver_tpu.ops import segment_sum, safe_log, safe_exp
+from pdp_solver_tpu.modules.propagate import q_triplet_stable
 from pdp_solver_tpu.ops.segment import LOG_EPS_PROP, LOG_EPS_SCORE
 
 
@@ -164,13 +165,7 @@ def make_edge_sharded_sp(graph_template: EdgeShardedGraph, n_iters, *,
             neg = vsum(log1m * neg_w)[ev]
             same = 0.5 * (1 + es) * pos + 0.5 * (1 - es) * neg - log1m
             opp = 0.5 * (1 - es) * pos + 0.5 * (1 + es) * neg
-            dc = same + opp
-            s_ = safe_exp(same)
-            o_ = safe_exp(opp)
-            d_ = safe_exp(dc)
-            q_u = s_ * (1 - o_)
-            q_s = o_ * (1 - s_)
-            total = q_u + q_s + d_
+            q_u, q_s, d_, total = q_triplet_stable(same, opp)
             new_var = jnp.stack([q_u, q_s, d_], axis=1) / total[:, None]
             new_fn = jnp.stack([eta, fn_state[:, 1]], axis=1)
             return (new_var, new_fn), None
@@ -297,11 +292,7 @@ def make_edge_sharded_solver(graph_template, *,
             neg = vsum(log1m * neg_w)[ev]
             same = 0.5 * (1 + es) * pos + 0.5 * (1 - es) * neg - log1m
             opp = 0.5 * (1 - es) * pos + 0.5 * (1 + es) * neg
-            dc = same + opp
-            s_, o_, d_ = safe_exp(same), safe_exp(opp), safe_exp(dc)
-            q_u = s_ * (1 - o_)
-            q_s = o_ * (1 - s_)
-            total = q_u + q_s + d_
+            q_u, q_s, d_, total = q_triplet_stable(same, opp)
             new_var = jnp.stack([q_u, q_s, d_], axis=1) / total[:, None]
             return new_var, jnp.stack([eta, fn_state[:, 1]], axis=1)
 

@@ -63,3 +63,64 @@ def test_segment_max_shifted_masks_and_defaults():
     valid = jnp.array([1.0, 0.0, 1.0])
     out = segment_max_shifted(x, ids, 3, valid=valid)
     np.testing.assert_allclose(out, [-5.0, 3.0, 0.0])
+
+
+def test_q_triplet_stable_underflow_regime():
+    """The reference's SP normalisation divides 0/0 once the summed logs
+    underflow (variable degree >~ 10 with saturated surveys -> NaN for
+    every instance with n >~ 1000). The shifted triplet must stay finite,
+    non-negative, and sum to total in every regime."""
+    import jax.numpy as jnp
+    from pdp_solver_tpu.modules.propagate import q_triplet_stable
+
+    for same, opp in ((-500.0, -499.0), (-1200.0, -1200.0), (0.0, 0.0),
+                      (-0.5, -700.0), (-1e30, -1e30)):
+        q_u, q_s, d, total = q_triplet_stable(jnp.float32(same),
+                                              jnp.float32(opp))
+        vals = [float(q_u), float(q_s), float(d), float(total)]
+        assert all(np.isfinite(v) for v in vals), (same, opp, vals)
+        assert all(v >= 0 for v in vals[:3])
+        assert total > 0
+        np.testing.assert_allclose(float(q_u + q_s + d), float(total),
+                                   rtol=1e-6)
+    # parity with the naive formula where it is well-conditioned
+    same, opp = jnp.float32(-2.0), jnp.float32(-3.0)
+    q_u, q_s, d, total = q_triplet_stable(same, opp)
+    s, o = np.exp(-2.0), np.exp(-3.0)
+    naive = np.array([s * (1 - o), o * (1 - s), s * o])
+    naive_n = naive / naive.sum()
+    got = np.array([float(q_u / total), float(q_s / total),
+                    float(d / total)])
+    np.testing.assert_allclose(got, naive_n, rtol=1e-5)
+
+
+def test_sp_sweep_high_degree_no_nan(rng):
+    """SP sweeps on a high-degree star variable (the underflow regime the
+    reference NaNs in) must stay finite."""
+    import jax
+    import jax.numpy as jnp
+    from pdp_solver_tpu.fg.batch import pack_instances
+    from pdp_solver_tpu.modules.propagate import (
+        SPMessages, SurveyPropagatorConfig, survey_propagator_apply)
+    from tests.helpers import cnf_instance
+
+    # var 1 appears in 220 clauses (mixed polarity), 220 partner vars
+    clauses = []
+    for i in range(220):
+        sign = 1 if i % 3 else -1
+        clauses.append([sign * 1, (i + 2), -(i + 2) if i % 2 else (i + 2)])
+    inst = cnf_instance(221, clauses)
+    batch = pack_instances([inst], bucket=False)
+    E = batch.num_edges
+    v = jax.random.uniform(jax.random.PRNGKey(0), (E, 3))
+    v = v / v.sum(1, keepdims=True)
+    state = SPMessages(var=(v[:, 0], v[:, 1], v[:, 2]),
+                       fn=(0.5 * jnp.ones(E), jnp.zeros(E)))
+    cfg = SurveyPropagatorConfig()
+    ones = jnp.ones(E)
+    sweep = jax.jit(lambda s: survey_propagator_apply(
+        {}, cfg, batch, s, s, ones, ones))
+    for _ in range(60):
+        state = sweep(state)
+    for leaf in jax.tree_util.tree_leaves(state):
+        assert np.isfinite(np.asarray(leaf)).all(), "NaN/inf in SP state"

@@ -41,18 +41,25 @@ from pdp_solver_tpu.solvers.compact import compacting_solve
 
 def main():
     iters = int(os.environ.get("EVAL_ITERS", 8800))
-    ls = int(os.environ.get("EVAL_LS", 1000))
     chunk = int(os.environ.get("EVAL_CHUNK", 100))
     count = int(os.environ.get("EVAL_COUNT", 8))
     n_mod = int(os.environ.get("EVAL_N", 10000))
+    # WalkSAT budget scales with instance size (one flip per instance per
+    # iteration; the reference's 1000 at n<=100 is 10n-40n flips — at
+    # n=10k the size-equivalent budget is ~4n). CPU-validated at n=1000/2000
+    # (tools notes in docs/ROUND3.md); override with EVAL_LS.
+    ls = int(os.environ.get("EVAL_LS", 4 * n_mod))
 
     gens = {
-        # alpha 3.5: the SP-decimation sweet spot (non-trivial surveys, well
-        # below the 4.27 threshold); q/c from the reference's modular band.
-        # Easier alphas go paramagnetic immediately and dump 10k-var
-        # instances on a 1000-flip WalkSAT budget instead.
+        # alpha 3.0: large modular instances at alpha >= 3.5 are often
+        # UNSAT outright (each ~n/c-var community is itself a
+        # near-threshold random sub-instance, and ALL c of them must be
+        # satisfiable); at 3.0 SP goes paramagnetic (the classical
+        # prescription: hand the instance to local search) and the solve
+        # rides decimation's simplification + the scaled WalkSAT budget.
+        # q/c from the reference's modular training band.
         "modular_3sat_n%d" % n_mod: ModularCNFGenerator(
-            3, n_mod, n_mod, 0.8, 0.9, 10, 20, 3.5, 3.5, seed=11),
+            3, n_mod, n_mod, 0.8, 0.9, 10, 20, 3.0, 3.0, seed=11),
         "vmodular_k25_n%d" % (n_mod + 2000,): VariableModularCNFGenerator(
             2, 5, n_mod + 2000, n_mod + 2000, 0.8, 0.9, 10, 20, 2.0, 2.0,
             seed=13),
