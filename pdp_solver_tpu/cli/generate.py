@@ -27,7 +27,13 @@ def _instance_to_clauses(n, gmap, signs):
 
 
 def generate_dataset(generator, size, out_dimacs, out_json, name,
-                     alpha_resolution=10, sat_only=False):
+                     alpha_resolution=10, sat_only=False, label_fn=None):
+    """Sweep the alpha range in bands (reference generator.py:53-92).
+
+    label_fn (e.g. fg.generators.label_instances) labels each band by
+    actually SOLVING the instances — the reference's is_sat is a stub
+    returning False (generator.py:15-17), which makes its own `sat_only`
+    path write nothing; with a real labeler `sat_only` works."""
     os.makedirs(out_dimacs, exist_ok=True)
     os.makedirs(out_json, exist_ok=True)
     alpha_min, alpha_max = generator._min_alpha, generator._max_alpha
@@ -40,16 +46,22 @@ def generate_dataset(generator, size, out_dimacs, out_json, name,
         os.makedirs(band_dir, exist_ok=True)
         generator._min_alpha, generator._max_alpha = lo, lo + inc
 
+        collected = []
+        for _ in range(50):  # band retry budget (reference generator.py:55)
+            need = size - len(collected)
+            if need <= 0:
+                break
+            batch = [generator.generate()[:5] for _ in range(need)]
+            if label_fn is not None:
+                batch = label_fn(batch)
+            if sat_only:
+                batch = [b for b in batch if b[4] == 1]
+            collected.extend(batch)
+
         with open(os.path.join(out_json, name + postfix + ".json"),
                   "w") as f:
-            for i in range(size):
-                max_trial = 50  # reference generator.py:55,74-81
-                for _ in range(max_trial):
-                    n, m, gmap, signs, label = generator.generate()[:5]
-                    if (not sat_only) or label == 1:
-                        break
-                else:
-                    continue  # no SAT instance found within the budget
+            for i, (n, m, gmap, signs, label) in enumerate(
+                    collected[:size]):
                 f.write(instance_to_line(n, m, gmap, signs, label) + "\n")
                 # encode the label so label_from_filename round-trips it:
                 # last stem char must be the digit, or a non-digit for
@@ -83,6 +95,10 @@ def main(argv=None):
     parser.add_argument("--max_a", type=float, default=10)
     parser.add_argument("--res", type=int, default=5)
     parser.add_argument("-s", "--sat_only", action="store_true")
+    parser.add_argument("--label", action="store_true",
+                        help="label instances by solving them (verified "
+                             "SAT -> 1, otherwise unknown -1)")
+    parser.add_argument("--label_iters", type=int, default=1000)
     parser.add_argument("--seed", type=int, default=None)
     a = parser.parse_args(argv)
 
@@ -97,8 +113,12 @@ def main(argv=None):
     else:
         gen = UniformCNFGenerator(a.min_n, a.max_n, a.min_k, a.max_k,
                                   a.min_a, a.max_a, seed=a.seed)
+    label_fn = None
+    if a.label or a.sat_only:
+        from pdp_solver_tpu.fg.generators import label_instances
+        label_fn = lambda b: label_instances(b, iterations=a.label_iters)
     generate_dataset(gen, a.size, a.out_dir, a.out_json, a.name, a.res,
-                     a.sat_only)
+                     a.sat_only, label_fn=label_fn)
 
 
 if __name__ == "__main__":

@@ -16,8 +16,39 @@ import numpy as np
 
 def _sat_label(n, clause_list):
     """Labeling hook. The reference stub returns False for every formula
-    (generator.py:15-17); plug a real solver here for labeled data."""
+    (generator.py:15-17); plug a real solver here for labeled data (see
+    label_instances below for the batch API)."""
     return -1.0
+
+
+def label_instances(instances, iterations=1000, ls_iterations=None,
+                    attempts=2, seed=0):
+    """Label instance tuples by SOLVING them: 1.0 where the classical
+    p-d-p + WalkSAT pipeline finds a verified satisfying assignment, -1.0
+    (unknown) otherwise. One-sided by construction — a SAT verdict is
+    formula-verified ground truth, a miss proves nothing — which is
+    strictly more honest than the reference's stub labeler
+    (generator.py:15-17 returns False for everything).
+
+    Returns new instance tuples with the label slot replaced."""
+    import jax
+    from pdp_solver_tpu.solvers.base import PDPSolver, SolverConfig
+    from pdp_solver_tpu.solvers.compact import compacting_solve
+
+    if ls_iterations is None:
+        max_n = max(int(i[0]) for i in instances)
+        ls_iterations = max(1000, 4 * max_n)
+    solver = PDPSolver(SolverConfig(
+        model_type="p-d-p", tolerance=0.05, t_max=100,
+        local_search_iterations=ls_iterations, epsilon=0.5))
+    per = max(iterations // attempts, 1)
+    per_ls = max(ls_iterations // attempts, 1)
+    _, solved, _ = compacting_solve(
+        solver, {}, jax.random.PRNGKey(seed), list(instances), iterations,
+        ls_iterations=ls_iterations,
+        schedule=[(per, per_ls)] * attempts if attempts > 1 else None)
+    return [inst[:4] + (1.0 if ok else -1.0,) + inst[5:]
+            for inst, ok in zip(instances, solved)]
 
 
 class CNFGeneratorBase:

@@ -195,3 +195,44 @@ def test_fallback_parser_zero_terminators(tmp_path, monkeypatch):
     monkeypatch.setattr(native, "parse_dimacs_fast", lambda path: None)
     n, m, clauses = parse_dimacs(str(p))
     assert clauses == [[1], [2], [-1, 3]]
+
+
+def test_label_instances_verified_sat():
+    """Solver-backed labeling: verified-SAT instances get label 1, an UNSAT
+    instance stays -1 (one-sided labels, unlike the reference's stub that
+    returns False for everything, generator.py:15-17)."""
+    from pdp_solver_tpu.fg.generators import label_instances
+    rng = np.random.default_rng(5)
+    from tests.helpers import cnf_instance, random_ksat
+    insts = [cnf_instance(20, random_ksat(rng, 20, 50, 3))
+             for _ in range(4)]
+    gm = np.array([[0, 0], [0, 1]], np.int64)
+    insts.append((1, 2, gm, np.array([1.0, -1.0], np.float32), -1.0))
+    labeled = label_instances(insts, iterations=150, ls_iterations=300,
+                              attempts=1)
+    labels = [inst[4] for inst in labeled]
+    assert labels[-1] == -1.0
+    assert sum(1 for l in labels[:-1] if l == 1.0) >= 3
+
+
+def test_generate_cli_label_and_sat_only(tmp_path):
+    """--label + -s writes only verified-SAT instances, DIMACS filenames
+    round-trip the label digit."""
+    from pdp_solver_tpu.cli.generate import main as gen_main
+    out_d = tmp_path / "dimacs"
+    out_j = tmp_path / "json"
+    gen_main([str(out_d), str(out_j), "tiny", "3", "uniform",
+              "--min_n", "10", "--max_n", "14", "--min_k", "3",
+              "--max_k", "3", "--min_a", "2.0", "--max_a", "2.4",
+              "--res", "1", "-s", "--label_iters", "100",
+              "--seed", "3"])
+    json_files = list(out_j.glob("*.json"))
+    assert len(json_files) == 1
+    lines = [l for l in json_files[0].read_text().splitlines() if l.strip()]
+    assert len(lines) == 3
+    import json as _json
+    for line in lines:
+        row = _json.loads(line)
+        assert row[3] == 1  # label slot: verified SAT only
+    band_dirs = list(out_d.iterdir())
+    assert all("sat=1" in f.name for d in band_dirs for f in d.iterdir())
