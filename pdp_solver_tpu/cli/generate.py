@@ -34,6 +34,11 @@ def generate_dataset(generator, size, out_dimacs, out_json, name,
     actually SOLVING the instances — the reference's is_sat is a stub
     returning False (generator.py:15-17), which makes its own `sat_only`
     path write nothing; with a real labeler `sat_only` works."""
+    if sat_only and label_fn is None:
+        raise ValueError(
+            "sat_only needs a label_fn: generators label everything -1 "
+            "(unknown), so the filter would reject every instance — pass "
+            "fg.generators.label_instances (the CLI --label path does)")
     os.makedirs(out_dimacs, exist_ok=True)
     os.makedirs(out_json, exist_ok=True)
     alpha_min, alpha_max = generator._min_alpha, generator._max_alpha

@@ -125,14 +125,9 @@ def _build_sp_sweep(T, k, tile, sub, NP, pi, login):
                         1.0 - pi * jnp.where(fo == sg, 1.0, 0.0))
                     opp = opp + _slog(
                         1.0 - pi * jnp.where(fo == -sg, 1.0, 0.0))
-                # stable shift: see modules/propagate.q_triplet_stable
-                b_ = jnp.maximum(same, opp)
-                s_ = _sexp(same - b_)
-                o_ = _sexp(opp - b_)
-                d_ = _sexp(same + opp - b_)
-                q_u = jnp.maximum(s_ - d_, 0.0)
-                q_s = jnp.maximum(o_ - d_, 0.0)
-                total = jnp.maximum(q_u + q_s + d_, 1e-20)
+                from pdp_solver_tpu.modules.propagate import (
+                    q_triplet_stable)
+                q_u, q_s, d_, total = q_triplet_stable(same, opp)
                 inv = 1.0 - mask
                 nv0_out[lo:lo + sub] = (mask * (q_u / total)
                                         + inv * v0_ref[lo:lo + sub])

@@ -16,8 +16,9 @@ on a smaller modular set. Writes docs/eval_modular_r3.json.
 
 Usage (TPU, chip otherwise idle):
   PDP_COMPILE_CACHE=... python tools/eval_modular.py
-Env: EVAL_ITERS (8800), EVAL_LS (1000), EVAL_CHUNK (100), EVAL_COUNT (8),
-     EVAL_N (10000/12000), EVAL_NEURAL (0)
+Env: EVAL_ITERS (8800), EVAL_LS (4*EVAL_N), EVAL_CHUNK (100),
+     EVAL_COUNT (8), EVAL_N (10000/12000), EVAL_NEURAL (0),
+     EVAL_NEURAL_LS (8000)
 """
 
 import json
@@ -108,6 +109,9 @@ def main():
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from train_flagship import CFG
         n_iters = int(os.environ.get("EVAL_NEURAL_ITERS", 1000))
+        # the neural probe runs at n=2000: its own 4-flips-per-var budget,
+        # NOT the 4*EVAL_N default sized for the 10k classical sets
+        ls = int(os.environ.get("EVAL_NEURAL_LS", 8000))
         gen = ModularCNFGenerator(3, 2000, 2000, 0.8, 0.9, 10, 20,
                                   2.5, 2.5, seed=17)
         batch = pack_instances([gen.generate() for _ in range(count)])
