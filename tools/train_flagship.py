@@ -208,6 +208,17 @@ def main():
                       f"{total_inst / max(time.time() - t0, 1):.1f} inst/s): "
                       f"loss {losses[-1]:.4f}", flush=True)
             if done % eval_every == 0:
+                # host-RSS guard: the tunnel client leaks ~8 MB per
+                # dispatched step (measured: 130 GB anon RSS after 15k
+                # steps -> OOM kill). Exit cleanly while checkpoints are
+                # fresh; the run resumes from `last` on relaunch.
+                with open("/proc/self/statm") as f:
+                    rss_gb = (int(f.read().split()[1]) * os.sysconf(
+                        "SC_PAGE_SIZE")) / (1 << 30)
+                if rss_gb > float(os.environ.get("TRAIN_RSS_GB", "60")):
+                    print(f"RSS {rss_gb:.1f} GB over budget: checkpointing "
+                          "and exiting for a clean resume", flush=True)
+                    stop = True
                 trainer.params = ts.params
                 trainer.global_step = ts.global_step
                 easy = solved_fraction(trainer, easy_val, iters=100)
@@ -232,8 +243,8 @@ def main():
             # clean external stop: touch TRAIN_STOP_FILE and the loop exits
             # after the current step (killing the process mid-execution can
             # wedge the tunneled chip lease for a long time)
-            if done >= max_steps or time.time() - t0 > wall_budget or (
-                    done % 25 == 0 and os.path.exists(os.environ.get(
+            if stop or done >= max_steps or time.time() - t0 > wall_budget \
+                    or (done % 25 == 0 and os.path.exists(os.environ.get(
                         "TRAIN_STOP_FILE", "/tmp/pdp_train_stop"))):
                 stop = True
                 break
