@@ -76,6 +76,8 @@ def main():
     for tag in ("trained", "untrained"):
         if os.environ.get("EVAL_SKIP_UNTRAINED") and tag == "untrained":
             continue
+        if os.environ.get("EVAL_SKIP_TRAINED") and tag == "trained":
+            continue
         trainer = SatTrainer(CFG, seed=0)
         if tag == "trained":
             trainer._load_params(ckpt)
