@@ -66,11 +66,24 @@ def main():
             seed=13),
     }
 
+    wanted = [f for f in os.environ.get("EVAL_FAMILIES", "").split(",")
+              if f]
+    if wanted:
+        gens = {k: v for k, v in gens.items()
+                if any(k.startswith(w) for w in wanted)}
+
     out = {"iters": iters, "ls": ls, "count": count,
            "backend": jax.default_backend(), "solver": "p-d-p classical",
            "tolerance": 0.02, "t_max": 100}
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                         "docs", "eval_modular_r3.json")
+    # merge into an existing report so family-targeted reruns keep rows
+    if os.path.exists(path) and os.environ.get("EVAL_MERGE", "1") == "1":
+        with open(path) as f:
+            prev = json.load(f)
+        for k, v in prev.items():
+            if isinstance(v, dict):
+                out.setdefault(k, v)
     solver = PDPSolver(SolverConfig(
         model_type="p-d-p", tolerance=0.02, t_max=100,
         local_search_iterations=ls, epsilon=0.5))
