@@ -62,6 +62,13 @@ def generate_dataset(generator, size, out_dimacs, out_json, name,
             if sat_only:
                 batch = [b for b in batch if b[4] == 1]
             collected.extend(batch)
+        if len(collected) < size:
+            # downstream consumers expect `size` lines per band; a silent
+            # short dataset looks identical to a complete one
+            print(f"WARNING: band {name + postfix}: only {len(collected)}"
+                  f"/{size} instances after the retry budget"
+                  + (" (sat_only filter)" if sat_only else ""),
+                  file=sys.stderr)
 
         with open(os.path.join(out_json, name + postfix + ".json"),
                   "w") as f:

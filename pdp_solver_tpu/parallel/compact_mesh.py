@@ -322,13 +322,22 @@ def parallel_compacting_solve(solver, params, rng, instances, iterations, *,
                          prob_st.solution[..., None])
         done_ls = 0
         sv = np.zeros((D, ls_dims[3]), np.float32)
+        # explicit real-slot mask: _DUMMY placeholder instances are packed
+        # with instance_mask=1 on shards with no live work, and the exit
+        # check must never count a dummy as solved (previously this relied
+        # on the dummy's solution staying at 0.5 under cnf_evaluate's
+        # strict '> 0.5' literal threshold)
+        real_mask = np.zeros((D, ls_dims[3]), np.float32)
+        for d in range(D):
+            real_mask[d, :len(ls_live[d])] = 1.0
+        real_mask = jnp.asarray(real_mask)
         while done_ls < ls_total:
             rng, r = jax.random.split(rng)
             rngs = jax.random.split(r, D)
             n = min(ls_chunk, ls_total - done_ls)
             pred, sv = ls_fn(rngs, lb_st, prob_st, pred, n)
             done_ls += n
-            if float(jnp.sum(sv * lb_st.instance_mask)) >= len(todo):
+            if float(jnp.sum(sv * real_mask)) >= len(todo):
                 break
         pred_host = np.asarray(pred)[..., 0]
         sv_host = np.asarray(sv)

@@ -267,6 +267,7 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
     # (chunks % mirror_every) aligned with the restored state
     mirror_rng = rng
     mirror_chunks = 0
+    n_finished_prev = 0
     t0 = time.time()
     while done < iterations and live:
         rng, r = jax.random.split(rng)
@@ -307,13 +308,21 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
             done = mirror_done
             rng = mirror_rng
             stats["chunks"] = mirror_chunks
+            # the finished set rolls back with the mirror; a stale high
+            # count would mask post-restore finishes from the harvest
+            n_finished_prev = 0
             continue
         done += n
         sv_aligned = True
         stats["chunks"] += 1
         finished = [s for s in range(len(live)) if active_b[s] <= 0]
-        if not finished:
+        if len(finished) == n_finished_prev:
+            # no NEW finishes since the last harvest: skip the full
+            # problem-state D2H pull (finished slots are sticky, so a
+            # naive check would re-pull every chunk after the first
+            # finish — measured multi-second tunnel tax per solve)
             continue
+        n_finished_prev = len(finished)
         problem_host = jax.tree_util.tree_map(np.asarray, carry[0])
         keep = []
         for slot, orig in enumerate(live):
@@ -353,6 +362,7 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
                     mirror_chunks = stats["chunks"]
                 live = [live[s] for s in keep]
                 batch, slices = tentative, new_slices
+                n_finished_prev = 0  # all kept slots are active again
                 # cap at 4x: oversized chunks delay the all-done exit by up
                 # to a full chunk of wasted iterations
                 chunk = min(chunk0 * (e0 // batch.num_edges), chunk0 * 4)
@@ -397,13 +407,17 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
         done_ls = 0
         sv = jnp.zeros((ls_batch.batch_size,), jnp.float32)
         ls_mirror = (np.asarray(pred), np.asarray(sv))
+        ls_mirror_done = 0
+        ls_chunks = 0
         while done_ls < ls_iterations:
             rng, r = jax.random.split(rng)
             n = min(ls_chunk, ls_iterations - done_ls)
             try:
                 pred, sv = ls_fn(r, ls_batch, problem, pred, n)
-                if resilient:
+                ls_chunks += 1
+                if resilient and ls_chunks % mirror_every == 0:
                     ls_mirror = (np.asarray(pred), np.asarray(sv))
+                    ls_mirror_done = done_ls + n
             except Exception:
                 if not resilient or ls_chunk <= min_chunk:
                     raise
@@ -411,6 +425,9 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
                 stats["faults"] += 1
                 pred = jnp.asarray(ls_mirror[0])
                 sv = jnp.asarray(ls_mirror[1])
+                # rewind to the mirror point: with sparse mirrors the lost
+                # chunks must be replayed, not skipped
+                done_ls = ls_mirror_done
                 continue
             done_ls += n
             if float(jnp.sum(sv * ls_batch.instance_mask)) >= len(todo):

@@ -223,6 +223,12 @@ class SatTrainer:
                         jax.device_put(batch))
                     step_idx += 1
                     step_losses.append(loss)
+                    # fold periodically into one device scalar: still no
+                    # host sync, but bounded live buffers on long epochs
+                    # (tens of thousands of segments otherwise keep one
+                    # device scalar alive each)
+                    if len(step_losses) >= 256:
+                        step_losses = [jnp.sum(jnp.stack(step_losses))]
                     n_batches += 1
                     total_examples += int(np.asarray(
                         batch.instance_mask).sum())
@@ -393,11 +399,38 @@ class SatTrainer:
             hidden_dim=c.get("hidden_dim", 3),
             batch_replication=batch_replication,
             max_cache_size=c.get("max_cache_size", 100000))
+        from pdp_solver_tpu.utils import profiler
+        do_profile = profiler.profiling_enabled()
+        timer = profiler.PhaseTimer()
+        iters = int(c.get("test_recurrence_num", 1000))
+        n_instances = 0
+        first_batch = None
         start = time.time()
-        for batch, misc in loader:
-            var_pred = self._run_batch(batch, batch_replication)
-            out_file.write(self._format_predictions(batch, misc, var_pred))
-        self._log("Time spent: %s seconds" % (time.time() - start))
+        with profiler.maybe_trace():
+            for batch, misc in loader:
+                if first_batch is None:
+                    first_batch = batch
+                with timer.phase("solve"):
+                    var_pred = self._run_batch(batch, batch_replication)
+                n_instances += int(np.asarray(batch.instance_mask).sum())
+                with timer.phase("output"):
+                    out_file.write(
+                        self._format_predictions(batch, misc, var_pred))
+        wall = time.time() - start
+        self._log("Time spent: %s seconds" % wall)
+        if do_profile and first_batch is not None:
+            record = {"wall_s": round(wall, 3), "instances": n_instances,
+                      "iterations": iters,
+                      "instances_per_sec": round(n_instances / wall, 4),
+                      "iterations_per_sec": round(
+                          iters * max(n_instances, 1) / wall, 2)}
+            record.update(timer.summary())
+            try:
+                record.update(profiler.solver_phase_slopes(
+                    self.solver, jax.device_put(first_batch)))
+            except Exception as e:  # classical-only probe; never fatal
+                record["phase_slopes_error"] = str(e)
+            profiler.emit_profile(record)
 
     def _format_predictions(self, batch: FGBatch, misc, var_pred):
         """One JSON dict per instance, exactly the reference's dict layout and
