@@ -75,31 +75,49 @@ class FGBatch:
     # per-instance meta features (reference `meta_data` / graph_feat slot,
     # src/pdp/factorgraph/dataset.py:157); [B, 0] when the dataset has none
     graph_feat: jnp.ndarray = None  # f32[B, meta_dim]
+    # -- hybrid windowed-reduce metadata (var direction; see
+    #    _hybrid_var_meta): per-tile window bases + the static residual
+    #    edge list the based kernel drops. Zero-length when unused. --
+    var_bases: jnp.ndarray = None       # i32[E/TILE] (or [0])
+    var_resid: jnp.ndarray = None       # i32[R_pad] edge indices (or [0])
+    var_resid_mask: jnp.ndarray = None  # f32[R_pad] 1 = real residual
     # -- static fast-path metadata (pytree aux, not traced) --
     clause_width: int = 0      # uniform clause size k, 0 = ragged
     fast_var: bool = False     # var-dir windowed-kernel invariant holds
     fast_clause: bool = False  # clause-dir windowed-kernel invariant holds
+    hybrid_var: bool = False   # var-dir based-kernel + residual split valid
 
     _ARRAY_FIELDS = ("edge_var", "edge_clause", "edge_sign", "var_batch",
                      "clause_batch", "edge_mask", "var_mask", "clause_mask",
                      "instance_mask", "label", "var_edges", "clause_edges",
-                     "graph_feat")
+                     "graph_feat", "var_bases", "var_resid",
+                     "var_resid_mask")
 
     def __post_init__(self):
         if self.graph_feat is None:
             object.__setattr__(
                 self, "graph_feat",
                 np.zeros((np.shape(self.label)[0], 0), np.float32))
+        if self.var_bases is None:
+            object.__setattr__(self, "var_bases",
+                               np.zeros((0,), np.int32))
+        if self.var_resid is None:
+            object.__setattr__(self, "var_resid",
+                               np.zeros((0,), np.int32))
+        if self.var_resid_mask is None:
+            object.__setattr__(self, "var_resid_mask",
+                               np.zeros((0,), np.float32))
 
     def tree_flatten(self):
         children = tuple(getattr(self, f) for f in self._ARRAY_FIELDS)
-        aux = (self.clause_width, self.fast_var, self.fast_clause)
+        aux = (self.clause_width, self.fast_var, self.fast_clause,
+               self.hybrid_var)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, clause_width=aux[0], fast_var=aux[1],
-                   fast_clause=aux[2])
+                   fast_clause=aux[2], hybrid_var=aux[3])
 
     # NamedTuple-compat helper used by a few call sites/tests
     def _replace(self, **kw):
@@ -166,6 +184,46 @@ def _windowed_ok(ids: np.ndarray, pairwise: bool = False) -> bool:
         mins = np.minimum(mins[:-1], mins[1:])
         maxs = np.maximum(maxs[:-1], maxs[1:])
     return bool(((maxs - mins) <= REDUCE_WINDOW - REDUCE_ALIGN).all())
+
+
+def _hybrid_var_meta(edge_var: np.ndarray, resid_round: int = 256):
+    """Per-tile window bases + residual edges for the based windowed reduce
+    (ops/pallas_reduce.py windowed_segment_sum_cols_based).
+
+    When the global windowed invariant fails (modular/industrial CNFs mix
+    far-apart variable ids in one tile), the reduce can still ride the MXU
+    for the bulk of edges: pick, per TILE of edges, the ALIGN-aligned
+    window covering the MOST ids (the two adjacent ALIGN blocks with the
+    highest combined count); edges outside their tile's window form a
+    static residual list handled by one small scatter. Exact by
+    construction: kernel(bases) + scatter(residuals) == segment_sum.
+
+    Returns (bases i32[E/TILE], resid i32[R_pad], resid_mask f32[R_pad],
+    coverage fraction). Residual length is rounded up to `resid_round` to
+    bound recompiles across batches of the same bucket shape."""
+    E = edge_var.shape[0]
+    assert E % REDUCE_TILE == 0
+    T = E // REDUCE_TILE
+    w_blk = REDUCE_WINDOW // REDUCE_ALIGN          # ALIGN blocks per window
+    blocks = (edge_var.astype(np.int64) // REDUCE_ALIGN).reshape(
+        T, REDUCE_TILE)
+    nblk = int(blocks.max()) + 1 if E else 1
+    # per-tile histogram over ALIGN blocks: counts[t, j]
+    counts = np.zeros((T, nblk + w_blk), np.int64)
+    np.add.at(counts, (np.repeat(np.arange(T), REDUCE_TILE),
+                       blocks.reshape(-1)), 1)
+    # window starting at block j covers blocks [j, j + w_blk)
+    covered = sum(counts[:, j:j + nblk] for j in range(w_blk))
+    best = np.argmax(covered, axis=1)              # [T] best start block
+    bases = (best * REDUCE_ALIGN).astype(np.int32)
+    bad = (blocks < best[:, None]) | (blocks >= best[:, None] + w_blk)
+    resid = np.nonzero(bad.reshape(-1))[0].astype(np.int32)
+    r_pad = max(-(-len(resid) // resid_round) * resid_round, resid_round)
+    resid_idx = np.zeros(r_pad, np.int32)
+    resid_idx[:len(resid)] = resid
+    resid_mask = (np.arange(r_pad) < len(resid)).astype(np.float32)
+    coverage = 1.0 - len(resid) / max(E, 1)
+    return bases, resid_idx, resid_mask, coverage
 
 
 def pack_instances(instances: Sequence[tuple],
@@ -255,6 +313,24 @@ def pack_instances(instances: Sequence[tuple],
         if (counts[:f_off] == k).all():
             clause_width = k
 
+    fast_var = _windowed_ok(edge_var, pairwise=clause_width in _ODD_K)
+    fast_clause = _windowed_ok(edge_clause,
+                               pairwise=clause_width in _ODD_K)
+
+    # hybrid var-direction metadata: when the global invariant fails
+    # (modular / ragged / industrial formulas) but most edges still live in
+    # a 2-block window per tile, the based kernel + residual scatter covers
+    # the reduce scatter-free (modules/common.py dispatch). Worth it only
+    # when the windowed share dominates.
+    hybrid_var = False
+    var_bases = var_resid = var_resid_mask = None
+    if not fast_var and pad_e % REDUCE_TILE == 0 and e_off > 0:
+        var_bases, var_resid, var_resid_mask, coverage = _hybrid_var_meta(
+            edge_var)
+        hybrid_var = coverage >= 0.5
+        if not hybrid_var:
+            var_bases = var_resid = var_resid_mask = None
+
     return FGBatch(
         edge_var=edge_var, edge_clause=edge_clause, edge_sign=edge_sign,
         var_batch=var_batch, clause_batch=clause_batch,
@@ -262,10 +338,12 @@ def pack_instances(instances: Sequence[tuple],
         instance_mask=instance_mask, label=label,
         var_edges=var_edges, clause_edges=clause_edges,
         graph_feat=graph_feat,
+        var_bases=var_bases, var_resid=var_resid,
+        var_resid_mask=var_resid_mask,
         clause_width=clause_width,
-        fast_var=_windowed_ok(edge_var, pairwise=clause_width in _ODD_K),
-        fast_clause=_windowed_ok(edge_clause,
-                                 pairwise=clause_width in _ODD_K))
+        fast_var=fast_var,
+        fast_clause=fast_clause,
+        hybrid_var=hybrid_var)
 
 
 ELL_MAX_WIDTH = 512   # above this degree fall back to segment scatters
@@ -336,6 +414,23 @@ def replicate_batch(batch: FGBatch, replication: int) -> FGBatch:
     # to - drop the fast flags for those (scatter fallback stays exact).
     k = batch.clause_width
     tile_aligned = E % REDUCE_TILE == 0 and k in (0, 2, 4, 8)
+    # hybrid metadata replicates exactly when replica blocks are
+    # tile-aligned: bases shift by r * V per replica block of tiles,
+    # residual indices by r * E. V must be ALIGN-aligned or the shifted
+    # bases would violate the kernel's alignment contract.
+    hybrid = (batch.hybrid_var and E % REDUCE_TILE == 0
+              and V % REDUCE_ALIGN == 0)
+    if hybrid:
+        rT = jnp.repeat(jnp.arange(R, dtype=jnp.int32), E // REDUCE_TILE)
+        rRes = jnp.repeat(jnp.arange(R, dtype=jnp.int32),
+                          batch.var_resid.shape[0])
+        var_bases = jnp.tile(batch.var_bases, R) + rT * V
+        var_resid = jnp.tile(batch.var_resid, R) + rRes * E
+        var_resid_mask = jnp.tile(batch.var_resid_mask, R)
+    else:
+        var_bases = jnp.zeros((0,), jnp.int32)
+        var_resid = jnp.zeros((0,), jnp.int32)
+        var_resid_mask = jnp.zeros((0,), jnp.float32)
     return FGBatch(
         edge_var=jnp.tile(batch.edge_var, R) + r_e * V,
         edge_clause=jnp.tile(batch.edge_clause, R) + r_e * F,
@@ -350,9 +445,12 @@ def replicate_batch(batch: FGBatch, replication: int) -> FGBatch:
         var_edges=rep_table(batch.var_edges, V),
         clause_edges=rep_table(batch.clause_edges, F),
         graph_feat=jnp.tile(batch.graph_feat, (R, 1)),
+        var_bases=var_bases, var_resid=var_resid,
+        var_resid_mask=var_resid_mask,
         clause_width=(k if k > 0 and E == k * F else 0),
         fast_var=batch.fast_var and tile_aligned,
         fast_clause=batch.fast_clause and tile_aligned,
+        hybrid_var=hybrid,
     )
 
 

@@ -109,6 +109,39 @@ def _windowed(x_e, ids, num_segments):
     return windowed_segment_sum(x_e, ids, num_segments, interpret=interpret)
 
 
+def _use_hybrid(batch, ncols):
+    """Based windowed kernel + residual scatter: the var-direction reduce
+    for batches failing the global invariant (modular / ragged CNFs) but
+    carrying the pack-time per-tile bases (FGBatch.hybrid_var)."""
+    mode = _backend()
+    if not batch.hybrid_var:
+        return False
+    if mode == "windowed":        # forced (tests in interpret mode off-TPU)
+        return True
+    if mode not in ("auto", "pallas"):
+        return False
+    return (jax.default_backend() == "tpu"
+            and (batch.num_vars + 2048) * ncols <= _WINDOWED_MAX_ELEMS)
+
+
+def _hybrid_to_vars_cols(batch, cols):
+    """cols already edge-masked. Returns f32[C, V]: based windowed kernel
+    over all edges (out-of-window edges drop) + one small scatter over the
+    static residual list. Exact: the two sets partition by construction
+    (fg/batch.py _hybrid_var_meta)."""
+    from pdp_solver_tpu.ops.pallas_reduce import (
+        windowed_segment_sum_cols_based)
+    interpret = jax.default_backend() != "tpu"
+    main = windowed_segment_sum_cols_based(
+        cols, batch.edge_var, batch.var_bases, batch.num_vars,
+        interpret=interpret)
+    ridx = batch.var_resid
+    rmask = batch.var_resid_mask
+    tail_x = jnp.stack([c[ridx] * rmask for c in cols], axis=1)   # [R, C]
+    tail = segment_sum(tail_x, batch.edge_var[ridx], batch.num_vars)
+    return main + tail.T
+
+
 def scatter_to_vars(batch: FGBatch, x_e):
     """mm(variable_mask [VxE], x): sum each variable's edge rows."""
     ncols = 1 if x_e.ndim == 1 else x_e.shape[1]
@@ -121,6 +154,13 @@ def scatter_to_vars(batch: FGBatch, x_e):
     if _use_windowed(batch.fast_var, batch.num_vars, ncols):
         m = batch.edge_mask if x_e.ndim == 1 else col(batch.edge_mask)
         return _windowed(x_e * m, batch.edge_var, batch.num_vars)
+    if _use_hybrid(batch, ncols):
+        xm = x_e * (batch.edge_mask if x_e.ndim == 1
+                    else col(batch.edge_mask))
+        cols_t = ((xm,) if x_e.ndim == 1
+                  else tuple(xm[:, i] for i in range(ncols)))
+        out = _hybrid_to_vars_cols(batch, cols_t)
+        return out[0] if x_e.ndim == 1 else out.T
     if _use_ell(batch.var_edges):
         return ell_sum(x_e, batch.var_edges)
     m = batch.edge_mask if x_e.ndim == 1 else col(batch.edge_mask)
@@ -142,6 +182,8 @@ def scatter_to_vars_cols(batch: FGBatch, cols):
         return windowed_segment_sum_cols(
             cols, batch.edge_var, batch.num_vars,
             interpret=jax.default_backend() != "tpu")
+    if _use_hybrid(batch, len(cols)):
+        return _hybrid_to_vars_cols(batch, cols)
     return segment_sum(jnp.stack(cols, axis=0).T, batch.edge_var,
                        batch.num_vars).T
 

@@ -119,6 +119,99 @@ def _make_fn(num_segments, interpret):
     return f
 
 
+def _make_based_kernel(ncols):
+    """Like _make_kernel but the window base comes from a per-tile input
+    instead of min(ids): ids outside [base, base + WINDOW) contribute
+    nothing (the one-hot has no matching column), which is exactly the
+    static residual set the caller handles with a small scatter."""
+    def _kernel(base_ref, ids_ref, *refs):
+        col_refs, out_ref = refs[:ncols], refs[ncols]
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        ids = ids_ref[:]
+        x = jnp.stack([r[:] for r in col_refs], axis=0)   # f32[C, T]
+        base = base_ref[0]
+        base = pl.multiple_of(base, ALIGN)
+        rel = ids - base
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE, WINDOW), 1)
+        onehot = (rel[:, None] == col_ids).astype(jnp.float32)
+        sums = jnp.dot(x, onehot, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        window = out_ref[:, pl.ds(base, WINDOW)]
+        out_ref[:, pl.ds(base, WINDOW)] = window + sums
+    return _kernel
+
+
+def _run_based(cols, segment_ids, bases, num_segments, interpret):
+    """cols: tuple of f32[E] -> f32[C, num_segments]; bases: i32[E/TILE]
+    ALIGN-aligned window base per tile (host-computed, see
+    fg/batch.py hybrid metadata). Requires E % TILE == 0 (bucketed shapes
+    guarantee it at the sizes where this kernel matters)."""
+    C = len(cols)
+    E = cols[0].shape[0]
+    if E % TILE != 0:
+        raise ValueError(f"based windowed reduce needs E % {TILE} == 0, "
+                         f"got {E}")
+    if bases.shape[0] != E // TILE:
+        raise ValueError("bases must have one entry per edge tile")
+    N_pad = -(-num_segments // ALIGN) * ALIGN + WINDOW
+
+    out = pl.pallas_call(
+        _make_based_kernel(C),
+        grid=(E // TILE,),
+        in_specs=[pl.BlockSpec((1,), lambda i: (i,))]
+        + [pl.BlockSpec((TILE,), lambda i: (i,))] * (1 + C),
+        out_specs=pl.BlockSpec((C, N_pad), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((C, N_pad), jnp.float32),
+        interpret=interpret,
+    )(bases, segment_ids, *cols)
+    return out[:, :num_segments]
+
+
+@functools.lru_cache(maxsize=None)
+def _make_based_fn(num_segments, interpret):
+    """custom_vjp wrapper for the based variant: the cotangent gather must
+    mask out-of-window edges (their primal contribution was dropped and is
+    owned by the caller's residual scatter)."""
+
+    @jax.custom_vjp
+    def f(segment_ids, bases, *cols):
+        return _run_based(cols, segment_ids, bases, num_segments, interpret)
+
+    def fwd(segment_ids, bases, *cols):
+        return f(segment_ids, bases, *cols), (segment_ids, bases)
+
+    def bwd(res, g):
+        segment_ids, bases = res
+        base_e = jnp.repeat(bases, TILE)
+        rel = segment_ids - base_e
+        in_win = ((rel >= 0) & (rel < WINDOW)).astype(g.dtype)
+        return (None, None) + tuple(g[i][segment_ids] * in_win
+                                    for i in range(g.shape[0]))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def windowed_segment_sum_cols_based(cols, segment_ids, bases, num_segments,
+                                    interpret=False):
+    """Multi-column segment sum with HOST-CHOSEN per-tile window bases.
+
+    Unlike windowed_segment_sum_cols there is no invariant requirement:
+    edges whose id falls outside their tile's [base, base + WINDOW) window
+    are silently dropped here and MUST be re-added by the caller via the
+    batch's static residual-edge scatter (fg/batch.py computes both the
+    bases and the residual list so the pair is exact by construction;
+    modules/common.py owns the recombination)."""
+    cols = tuple(c.astype(jnp.float32) for c in cols)
+    return _make_based_fn(int(num_segments), bool(interpret))(
+        segment_ids.astype(jnp.int32), bases.astype(jnp.int32), *cols)
+
+
 def windowed_segment_sum_cols(cols, segment_ids, num_segments,
                               interpret=False):
     """Exact multi-column segment sum for ids satisfying the windowed
