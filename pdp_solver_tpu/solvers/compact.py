@@ -173,7 +173,8 @@ def _compact_fns(solver):
 def compacting_solve(solver, params, rng, instances, iterations, *,
                      ls_iterations=None, chunk=50, ls_chunk=None,
                      min_edges=32768, min_chunk=10, resilient=True,
-                     mirror_every=1, schedule=None, verbose=False):
+                     mirror_every=1, schedule=None, replicas=1,
+                     verbose=False):
     """Full solve over `instances` with progressive batch compaction and an
     optional restart schedule.
 
@@ -190,6 +191,18 @@ def compacting_solve(solver, params, rng, instances, iterations, *,
     so splitting the budget across two basins solves strictly more than
     one long run at the same per-instance compute. Later attempts run on
     already-compacted (smaller) batches, so they are also cheaper.
+
+    replicas: in-batch search replication (the reference's
+    batch_replication, src/pdp/nn/solver.py:56-99, redesigned for the
+    compaction pipeline): every instance enters each attempt as R
+    independent slots whose random message inits differ (distinct packed
+    offsets consume distinct PRNG draws). An instance counts as solved as
+    soon as ANY replica's assignment verifies — the de-dup is
+    first-verified-wins rather than the reference's min-energy argmin —
+    and all sibling replicas are dropped at the next compaction. On a
+    dispatch-bound batch the extra replicas ride in the same kernel
+    launches, so the union-of-basins quality gain costs far less than R x
+    wall.
     """
     ls_total = (solver.cfg.local_search_iterations
                 if ls_iterations is None else ls_iterations)
@@ -204,18 +217,25 @@ def compacting_solve(solver, params, rng, instances, iterations, *,
     t0 = time.time()
     for att, (it_k, ls_k) in enumerate(schedule):
         rng, r = jax.random.split(rng)
-        subset = [instances[i] for i in remaining]
+        subset, owners = [], []
+        for j, orig in enumerate(remaining):
+            for _ in range(max(replicas, 1)):
+                subset.append(instances[orig])
+                owners.append(j)
         sols_k, solved_k, st_k = _solve_attempt(
             solver, params, r, subset, it_k, ls_iterations=ls_k,
             chunk=chunk, ls_chunk=ls_chunk, min_edges=min_edges,
             min_chunk=min_chunk, resilient=resilient,
-            mirror_every=mirror_every, verbose=verbose)
+            mirror_every=mirror_every,
+            owners=owners if replicas > 1 else None, verbose=verbose)
         for j, orig in enumerate(remaining):
             solutions[orig] = sols_k[j]
             solved[orig] = solved_k[j]
         all_stats["attempts"].append(
             {"iterations": it_k, "ls": ls_k, "instances": len(remaining),
-             "solved": int(sum(solved_k)), "wall_s": st_k["wall_s"]})
+             "solved": int(sum(solved_k)), "wall_s": st_k["wall_s"],
+             "ls_wall_s": st_k["ls_wall_s"],
+             "progress": st_k.get("progress", [])})
         all_stats["compactions"].extend(st_k["compactions"])
         for k in ("chunks", "faults", "ls_wall_s", "pdp_wall_s"):
             all_stats[k] += st_k[k]
@@ -230,9 +250,17 @@ def compacting_solve(solver, params, rng, instances, iterations, *,
 def _solve_attempt(solver, params, rng, instances, iterations, *,
                    ls_iterations, chunk=50, ls_chunk=None,
                    min_edges=32768, min_chunk=10, resilient=True,
-                   mirror_every=1, verbose=False):
-    """One compacting solve pass (see compacting_solve)."""
-    count = len(instances)
+                   mirror_every=1, owners=None, verbose=False):
+    """One compacting solve pass (see compacting_solve).
+
+    owners: optional per-slot owner index (consecutive, 0-based) mapping
+    replica slots onto logical instances; the returned lists are per OWNER
+    and an owner is solved when any of its slots verifies. None = the
+    identity (one slot per instance)."""
+    n_slots = len(instances)
+    owner_of = list(range(n_slots)) if owners is None else list(owners)
+    count = (max(owner_of) + 1) if owner_of else 0
+    ls_replicas = max(n_slots // max(count, 1), 1)
     ls_iterations = (solver.cfg.local_search_iterations
                      if ls_iterations is None else ls_iterations)
     ls_chunk = ls_chunk or max(chunk * 4, 200)
@@ -242,7 +270,7 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
     parked = {}
 
     # --- phase 1: decimation loop with compaction -----------------------
-    live = list(range(count))          # original index per batch slot
+    live = list(range(n_slots))        # original slot index per batch slot
     batch = pack_instances([instances[i] for i in live])
     slices = instance_slices([instances[i] for i in live])
     rng, r_init = jax.random.split(rng)
@@ -251,7 +279,10 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
 
     first_fn, step_fn, ls_fn = _compact_fns(solver)
 
-    stats = {"compactions": [], "chunks": 0, "faults": 0}
+    # progress: (iteration, owners solved so far, wall) per harvest — the
+    # measured p(solved by iter k) curve that schedule/replica decisions
+    # are made on (free: appended only when a harvest already happened)
+    stats = {"compactions": [], "chunks": 0, "faults": 0, "progress": []}
     done = 0
     # per-iteration cost scales with the edge bucket, so growing the chunk
     # inversely keeps the per-program execution time constant while cutting
@@ -324,17 +355,26 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
             continue
         n_finished_prev = len(finished)
         problem_host = jax.tree_util.tree_map(np.asarray, carry[0])
-        keep = []
+        # pass 1: harvest newly solved slots (any replica wins its owner)
         for slot, orig in enumerate(live):
-            if solved_b[slot] > 0:
+            if solved_b[slot] > 0 and not solved[owner_of[orig]]:
                 sol = problem_host.solution[
                     slices[slot][0]:slices[slot][0] + slices[slot][3]]
-                solutions[orig] = (sol > 0.5).astype(np.float32)
-                solved[orig] = True
-            elif active_b[slot] > 0:
+                solutions[owner_of[orig]] = (sol > 0.5).astype(np.float32)
+                solved[owner_of[orig]] = True
+        stats["progress"].append(
+            (done, int(sum(solved)), int((active_b > 0).sum()),
+             round(time.time() - t0, 3)))
+        # pass 2: keep live slots of unsolved owners; park terminated ones
+        keep = []
+        for slot, orig in enumerate(live):
+            ow = owner_of[orig]
+            if solved[ow]:
+                continue        # solved (this slot or a sibling): drop
+            if active_b[slot] > 0:
                 keep.append(slot)
             else:
-                _park(parked, orig, problem_host, slices, slot)
+                _park(parked, ow, problem_host, slices, slot)
         if not keep:
             live = []
             break
@@ -383,21 +423,33 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
         solved_b = (np.asarray(sv)[:len(live)] if sv_aligned
                     else np.zeros(len(live)))
         for slot, orig in enumerate(live):
-            if solved_b[slot] > 0:
+            if solved_b[slot] > 0 and not solved[owner_of[orig]]:
                 sol = problem_host.solution[
                     slices[slot][0]:slices[slot][0] + slices[slot][3]]
-                solutions[orig] = (sol > 0.5).astype(np.float32)
-                solved[orig] = True
-            else:
-                _park(parked, orig, problem_host, slices, slot)
+                solutions[owner_of[orig]] = (sol > 0.5).astype(np.float32)
+                solved[owner_of[orig]] = True
+        for slot, orig in enumerate(live):
+            if not solved[owner_of[orig]]:
+                _park(parked, owner_of[orig], problem_host, slices, slot)
 
     # --- phase 2: local search on the unsolved set -----------------------
     t1 = time.time()
     todo = [i for i in range(count) if not solved[i] and i in parked]
     if ls_iterations > 0 and todo:
-        ls_batch = pack_instances([instances[i] for i in todo])
-        ls_slices = instance_slices([instances[i] for i in todo])
-        problem = jax.device_put(_unpark(parked, todo, ls_batch, ls_slices))
+        # replicate owners here too: WalkSAT is strongly init-dependent and
+        # the replicas again share kernel launches. slot_of_owner[k] lists
+        # the packed slots carrying owner todo[k].
+        ls_owner = [o for o in todo for _ in range(ls_replicas)]
+        # an owner's first slot per replica group indexes instances by ANY
+        # slot of that owner (replicas are the same formula)
+        inst_of_owner = {}
+        for slot_idx, orig in enumerate(owner_of):
+            inst_of_owner.setdefault(orig, instances[slot_idx])
+        ls_insts = [inst_of_owner[o] for o in ls_owner]
+        ls_batch = pack_instances(ls_insts)
+        ls_slices = instance_slices(ls_insts)
+        problem = jax.device_put(
+            _unpark(parked, ls_owner, ls_batch, ls_slices))
 
         rng, r_fill = jax.random.split(rng)
         noise = (jax.random.uniform(r_fill, (ls_batch.num_vars, 1))
@@ -430,14 +482,22 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
                 done_ls = ls_mirror_done
                 continue
             done_ls += n
-            if float(jnp.sum(sv * ls_batch.instance_mask)) >= len(todo):
+            sv_h = np.asarray(sv)[:len(ls_owner)]
+            owner_hit = {}
+            for slot, o in enumerate(ls_owner):
+                owner_hit[o] = owner_hit.get(o, False) or sv_h[slot] > 0
+            if all(owner_hit.values()):
                 break
         pred_host = np.asarray(pred)[:, 0]
         sv_host = np.asarray(sv)
-        for slot, orig in enumerate(todo):
-            v, _, _, n_, _, _ = ls_slices[slot]
-            solutions[orig] = (pred_host[v:v + n_] > 0.5).astype(np.float32)
-            solved[orig] = bool(sv_host[slot] > 0)
+        for slot, o in enumerate(ls_owner):
+            hit = bool(sv_host[slot] > 0)
+            if solved[o]:
+                continue    # a sibling replica already delivered
+            if hit or solutions[o] is None:
+                v, _, _, n_, _, _ = ls_slices[slot]
+                solutions[o] = (pred_host[v:v + n_] > 0.5).astype(np.float32)
+                solved[o] = hit
     else:
         for i in todo:
             solutions[i] = (parked[i]["solution"] > 0.5).astype(np.float32)
@@ -445,7 +505,10 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
     stats["wall_s"] = round(time.time() - t0, 3)
     stats["solved"] = int(sum(solved))
 
+    n_of_owner = {}
+    for slot_idx, ow in enumerate(owner_of):
+        n_of_owner.setdefault(ow, int(instances[slot_idx][0]))
     for i in range(count):
         if solutions[i] is None:
-            solutions[i] = np.zeros(int(instances[i][0]), np.float32)
+            solutions[i] = np.zeros(n_of_owner[i], np.float32)
     return solutions, solved, stats

@@ -311,3 +311,55 @@ def test_compacting_solve_neural_solver(rng):
         if ok:
             assert check_assignment(cl, sol)
     assert sum(solved) >= 7
+
+
+def test_compacting_solve_replicas(rng):
+    """In-batch replication (reference batch_replication,
+    src/pdp/nn/solver.py:56-99): R=2 replicas per instance must (a) return
+    one verified solution per ORIGINAL instance, (b) solve at least as many
+    as it would with any single init (union of basins), (c) drop sibling
+    replicas of solved owners — compaction telemetry shows the live count
+    shrinking below the replica total."""
+    easy, easy_cl = _mixed_instances(rng, counts=((60, 1.5),), per=10)
+    hard, hard_cl = _mixed_instances(rng, counts=((40, 2.8),), per=3)
+    insts, clause_lists = easy + hard, easy_cl + hard_cl
+    solver = PDPSolver(SolverConfig(
+        model_type="p-d-p", tolerance=0.02, t_max=100,
+        local_search_iterations=300, epsilon=0.5))
+
+    solutions, solved, stats = compacting_solve(
+        solver, {}, jax.random.PRNGKey(0), insts, 300,
+        chunk=25, min_edges=0, replicas=2)
+
+    assert len(solutions) == len(insts)
+    assert len(solved) == len(insts)
+    for sol, ok, cl, inst in zip(solutions, solved, clause_lists, insts):
+        assert sol.shape[0] == int(inst[0])
+        assert set(np.unique(sol)).issubset({0.0, 1.0})
+        if ok:
+            assert check_assignment(cl, sol)
+    assert sum(solved) >= int(0.8 * len(insts))
+    # compaction must have engaged and gone below the 2x replica pack
+    assert stats["compactions"], f"no compaction happened: {stats}"
+
+
+def test_replicas_match_single_on_quality(rng):
+    """R=2 at half the iteration budget should solve at least as many
+    instances as R=1 at the same half budget (the union of two basins
+    dominates either one) — a statistical property on an easy set where
+    both configurations leave headroom."""
+    insts, clause_lists = _mixed_instances(
+        rng, counts=((40, 2.6), (30, 2.8)), per=4)
+    solver = PDPSolver(SolverConfig(
+        model_type="p-d-p", tolerance=0.02, t_max=50,
+        local_search_iterations=0, epsilon=0.5))
+
+    def run(reps, seed=0):
+        _, solved, _ = compacting_solve(
+            solver, {}, jax.random.PRNGKey(seed), insts, 150,
+            chunk=25, min_edges=0, replicas=reps)
+        return sum(solved)
+
+    s1 = run(1)
+    s2 = run(2)
+    assert s2 >= s1 - 1  # allow one-instance basin noise
