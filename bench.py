@@ -11,6 +11,19 @@ reports, and prints ONE JSON line:
 vs_baseline compares against the measured reference implementation (torch,
 CPU - the repo ships no GPU and publishes no numbers; see
 tools/measure_reference.py and baselines/reference_measured.json).
+
+Round-4 protocol (VERDICT r3 #1/#2/#3/#7):
+  * the repeated timed solves use DIFFERENT message-init seeds - wall is
+    the median, solved-fraction is reported as mean over seeds plus the
+    per-seed list (the measured basin spread is +-5pp, so single-seed
+    solved counts are inside noise);
+  * the solver settings (simplify_rounds, tolerance, schedule, replicas)
+    ride in the JSON next to the numbers;
+  * persistent-compilation-cache hit/miss counts are reported so warm-up
+    is auditable;
+  * a `large_batch` block measures the chip at the reference's own
+    operating point (batch_size 5000-class packing: 2048 instances /
+    7.4M real edges) where the TPU is bandwidth- not dispatch-bound.
 """
 
 import json
@@ -27,7 +40,8 @@ def main():
     # persistent compilation cache: the bench's program ladder is
     # deterministic, so every run after the first starts warm (the cold
     # warm-up was 178s of pure recompilation, BENCH_r02.json)
-    from pdp_solver_tpu.utils.cache import enable_compilation_cache
+    from pdp_solver_tpu.utils.cache import (
+        enable_compilation_cache, cache_stats)
     enable_compilation_cache()
 
     import jax
@@ -35,15 +49,15 @@ def main():
 
     from pdp_solver_tpu.fg.batch import pack_instances
     from pdp_solver_tpu.solvers import SolverConfig, PDPSolver
+    from pdp_solver_tpu.solvers.compact import compacting_solve
     from pdp_solver_tpu.train.loss import cnf_evaluate
     from pdp_solver_tpu.utils.benchdata import (
         make_ksat_set, dataset_fingerprint)
 
     iters = int(os.environ.get("BENCH_ITERS", "1000"))
     ls_iters = int(os.environ.get("BENCH_LS_ITERS", "1000"))
-    # chunk very long budgets into bounded program executions (resumable
-    # solve); 0 = single program. Defaults to 100-iteration chunks on TPU
-    # where extremely long-running single programs can trip device limits.
+    # chunk long budgets into bounded program executions (resumable solve);
+    # single very long programs crash the tunneled TPU worker
     default_chunk = "50" if jax.default_backend() == "tpu" else "0"
     chunk = int(os.environ.get("BENCH_CHUNK", default_chunk))
 
@@ -52,209 +66,118 @@ def main():
     count = len(insts)
     batch = pack_instances(insts)
 
-    # solver operating point, validated on three disjoint instance seeds
-    # (docs/PERFORMANCE.md): the reference's argmax decimation rule, a
-    # looser convergence tolerance (0.05 solves 79-88/128 across seeds vs
-    # 74-81 at the reference's 0.02, at equal-or-less wall), plus the
-    # restart schedule and compaction below. The banded multi-variable
-    # decimation (BENCH_DEC_THETA < 1) is faster per solve but lost
-    # held-out validation on solved count and is off by default.
-    theta = float(os.environ.get("BENCH_DEC_THETA", "1.0"))
-    guard = float(os.environ.get("BENCH_DEC_GUARD", "0"))
+    # solver operating point (validated end-to-end across message-init
+    # seeds, docs/r4_headline_bisect.json): reference argmax decimation, a
+    # looser convergence tolerance than the reference's 0.02, in-batch
+    # replication (the reference's own batch_replication feature,
+    # src/pdp/nn/solver.py:56-99) and the restart schedule below. The
+    # reference_settings row keeps the reference's exact semantics
+    # (tolerance 0.02, single attempt, no replication, srounds=0).
     tol = float(os.environ.get("BENCH_TOL", "0.05"))
-    # lazy simplification: cap post-decimation simplify rounds per
-    # iteration (deferred propagation, problem/simplify.py). Default 1,
-    # validated at the full protocol on-chip: solved 77/128 vs 78 at the
-    # exact fixed point (within the measured seed-basin variance) with the
-    # per-iteration slope cut 53.5 -> 24.6 ms (docs/tpu_r3_probe.json,
-    # docs/PERFORMANCE.md). The reference_settings row below keeps the
-    # reference's exact fixed-point semantics (srounds=0).
     srounds = int(os.environ.get("BENCH_SIMPLIFY_ROUNDS", "1"))
+    replicas = int(os.environ.get("BENCH_REPLICAS", "1"))
     solver = PDPSolver(SolverConfig(
         model_type="p-d-p", tolerance=tol, t_max=100,
         local_search_iterations=ls_iters, epsilon=0.5,
-        decimation_threshold=theta, decimation_guard=guard,
+        decimation_threshold=float(os.environ.get("BENCH_DEC_THETA", "1.0")),
+        decimation_guard=float(os.environ.get("BENCH_DEC_GUARD", "0")),
         simplify_rounds=srounds))
 
-    def solve(rng, batch, state, n_iters):
-        (pred, _), _ = solver.forward(
-            {}, rng, batch, state, n_iters,
-            is_training=False, check_termination=True)
-        # evaluate INSIDE jit: some PJRT backends fault on eager op-by-op
-        # execution, and the verifier belongs in the compiled program anyway
-        solved_v, _ = cnf_evaluate(batch, pred)
-        return pred, jnp.sum(solved_v * batch.instance_mask)
+    # restart schedule: attempt budgets sum to exactly the protocol budgets
+    # (iters, ls_iters); unsolved instances re-enter with a fresh message
+    # init (solve quality depends strongly on the init basin)
+    sched_env = os.environ.get("BENCH_SCHEDULE", "0.5,0.5")
+    fracs = [float(x) for x in sched_env.split(",") if x]
+    schedule = [(max(int(iters * f), 1), max(int(ls_iters * f), 1))
+                for f in fracs]
+    over_i = sum(s[0] for s in schedule) - iters
+    over_l = sum(s[1] for s in schedule) - ls_iters
+    if over_i > 0 or over_l > 0:
+        schedule[-1] = (schedule[-1][0] - max(over_i, 0),
+                        schedule[-1][1] - max(over_l, 0))
+    # splitting a small budget starves every attempt (decimation needs
+    # ~150+ iterations to engage at the bench operating point)
+    if min(s[0] for s in schedule) < 200:
+        schedule = None
 
-    def solve_step(rng, batch, state, carry, n_iters):
-        _, state, carry = solver.forward(
-            {}, rng, batch, state, n_iters,
-            is_training=False, check_termination=True,
-            carry=carry, finalize=False)
-        return state, carry
+    # deeper compaction ladders help more but each bucket shape is a
+    # remote compile on the tunneled TPU; stop earlier there
+    min_edges = int(os.environ.get(
+        "BENCH_MIN_EDGES",
+        "131072" if jax.default_backend() == "tpu" else "32768"))
+    # the fault-tolerance mirror copies solver state+carry device->host;
+    # over the tunneled TPU link that is a multi-second tax per chunk,
+    # so mirror sparsely there
+    mirror_every = int(os.environ.get(
+        "BENCH_MIRROR_EVERY",
+        "8" if jax.default_backend() == "tpu" else "1"))
 
-    def solve_final(rng, batch, state, carry):
-        (pred, _), _ = solver.forward(
-            {}, rng, batch, state, 0,
-            is_training=False, check_termination=True,
-            carry=carry, finalize=True)
-        solved_v, _ = cnf_evaluate(batch, pred)
-        return pred, jnp.sum(solved_v * batch.instance_mask)
+    def compact_run(seed):
+        r = jax.random.split(jax.random.PRNGKey(seed))[1]
+        _, solved_list, stats = compacting_solve(
+            solver, {}, r, insts, iters,
+            ls_iterations=ls_iters, chunk=chunk or 50,
+            min_edges=min_edges, schedule=schedule,
+            mirror_every=mirror_every, replicas=replicas)
+        return sum(solved_list), stats
 
-    def solve_chunked(rng, batch, state, n_iters, chunk_size):
-        carry = None
-        done = 0
-        while done < n_iters:
-            rng, r = jax.random.split(rng)
-            state, carry = step_fn(r, batch, state, carry,
-                                   min(chunk_size, n_iters - done)) \
-                if carry is not None else first_fn(
-                    r, batch, state, min(chunk_size, n_iters - done))
-            done += chunk_size
-        rng, r = jax.random.split(rng)
-        return final_fn(r, batch, state, carry)
+    # warm-up: compile every distinct program the timed runs will execute
+    # (the compaction bucket ladder is deterministic given the seed; other
+    # seeds may touch one extra bucket rung mid-run - acceptable, the
+    # persistent cache still absorbs repeat runs). If the tuned
+    # configuration fails outright, degrade to the plain single-attempt
+    # solve rather than taking the benchmark down.
+    t0 = time.time()
+    try:
+        warm_solved, _ = compact_run(0)
+    except Exception:
+        replicas, schedule = 1, None
 
-    key = jax.random.PRNGKey(0)
-    r_state, r_fwd = jax.random.split(key)
-    state = solver.get_init_state(r_state, batch, randomized=True)
-
-    batch = jax.device_put(batch)
-    # the chunked programs are defined unconditionally (jit compiles
-    # lazily, so this is free): the mid-run retry path falls back to
-    # solve_chunked even when the original run was unchunked
-    first_fn = jax.jit(
-        lambda r, b, s, n: solve_step(r, b, s, None, n),
-        static_argnames="n")
-    step_fn = jax.jit(solve_step, static_argnames="n_iters")
-    final_fn = jax.jit(solve_final)
-    if chunk > 0:
-        fwd = lambda r, b, s, n: solve_chunked(r, b, s, n, chunk)
-    else:
-        fwd = jax.jit(solve, static_argnames="n_iters")
-
-    # progressive batch compaction (solvers/compact.py): solved instances
-    # are harvested and the live set repacked into smaller static buckets
-    # at chunk boundaries, so the late solve stops paying for finished
-    # instances. Deterministic given the rng key, so repeated runs hit the
-    # same bucket ladder (compiled once in the warm-up run).
-    use_compact = os.environ.get("BENCH_COMPACT", "1") != "0"
-    if use_compact:
-        from pdp_solver_tpu.solvers.compact import compacting_solve
-
-        # restart schedule: the budgets of the attempts sum to exactly the
-        # protocol budgets (iters, ls_iters); unsolved instances re-enter
-        # with a fresh message init (solve quality depends strongly on the
-        # init basin - see tools/eps_study.py / docs/PERFORMANCE.md)
-        sched_env = os.environ.get("BENCH_SCHEDULE", "0.5,0.5")
-        fracs = [float(x) for x in sched_env.split(",") if x]
-        schedule = [(max(int(iters * f), 1), max(int(ls_iters * f), 1))
-                    for f in fracs]
-        # rounding must never exceed the protocol budgets
-        over_i = sum(s[0] for s in schedule) - iters
-        over_l = sum(s[1] for s in schedule) - ls_iters
-        if over_i > 0 or over_l > 0:
-            schedule[-1] = (schedule[-1][0] - max(over_i, 0),
-                            schedule[-1][1] - max(over_l, 0))
-        # splitting a small budget starves every attempt (decimation needs
-        # ~150+ iterations to engage at the bench operating point)
-        if min(s[0] for s in schedule) < 200:
-            schedule = None
-
-        # deeper ladders help more but each bucket shape is a remote
-        # compile on the tunneled TPU; stop earlier there
-        min_edges = int(os.environ.get(
-            "BENCH_MIN_EDGES",
-            "131072" if jax.default_backend() == "tpu" else "32768"))
-        # the fault-tolerance mirror copies the full solver state+carry
-        # device->host; over the tunneled TPU link that is a multi-second
-        # tax when taken every 50-iteration chunk, so mirror sparsely there
-        # (a fault then re-runs at most mirror_every chunks - still cheap)
-        mirror_every = int(os.environ.get(
-            "BENCH_MIRROR_EVERY",
-            "8" if jax.default_backend() == "tpu" else "1"))
-
-        def compact_run():
+        def compact_run(seed):  # noqa: F811 - deliberate redefinition
+            r = jax.random.split(jax.random.PRNGKey(seed))[1]
             _, solved_list, stats = compacting_solve(
-                solver, {}, r_fwd, insts, iters,
+                solver, {}, r, insts, iters,
                 ls_iterations=ls_iters, chunk=chunk or 50,
-                min_edges=min_edges, schedule=schedule,
+                min_edges=min_edges, schedule=None,
                 mirror_every=mirror_every)
             return sum(solved_list), stats
 
-    # warm-up: compile every distinct program the timed run will execute,
-    # including the remainder-sized chunk when iters % chunk != 0 and the
-    # compaction bucket ladder (a compile inside the timed region would
-    # inflate the wall time)
-    t0 = time.time()
-    if use_compact:
-        try:
-            warm_solved, warm_stats = compact_run()
-        except Exception:
-            # never let the compaction path take the whole benchmark down:
-            # revert to the plain chunked solve (compiled below)
-            use_compact = False
-    if use_compact:
-        pass
-    elif chunk > 0:
-        st_w, carry_w = first_fn(r_fwd, batch, state, min(chunk, iters))
-        if iters > chunk:
-            st_w, carry_w = step_fn(r_fwd, batch, st_w, carry_w, chunk)
-            rem = iters % chunk
-            if rem:
-                step_fn(r_fwd, batch, st_w, carry_w, rem)
-        jax.block_until_ready(final_fn(r_fwd, batch, st_w, carry_w)[0])
-    else:
-        jax.block_until_ready(fwd(r_fwd, batch, state, iters)[0])
+        warm_solved, _ = compact_run(0)
     compile_and_first = time.time() - t0
 
-    # timed full solve, repeated BENCH_REPEATS times (median wall) to defend
-    # the headline against tunnel wall-clock variance; the sync point is the
-    # device->host transfer of the solved count (block_until_ready has
-    # unreliable semantics on some PJRT tunnels). One retry with half-size
-    # chunks if the device objects mid-run.
+    # timed solves at DIFFERENT message-init seeds: wall = median, solved
+    # = mean over seeds (basin spread is +-5pp; n=1 solved counts are
+    # noise). The sync point is the D2H of the solved count.
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
-    walls = []
-    solved = 0
+    walls, solved_seeds = [], []
     compact_stats = None
     for rep in range(max(repeats, 1)):
-        try:
-            t0 = time.time()
-            if use_compact:
-                solved, compact_stats = compact_run()
-            else:
-                pred, solved_dev = fwd(r_fwd, batch, state, iters)
-                solved = int(solved_dev)
-            walls.append(time.time() - t0)
-        except Exception:
-            chunk = max(chunk // 2, 10) if chunk else 25
-            use_compact = False
-            fwd = lambda r, b, s, n: solve_chunked(r, b, s, n, chunk)
-            t0 = time.time()
-            pred, solved_dev = fwd(r_fwd, batch, state, iters)
-            solved = int(solved_dev)
-            walls.append(time.time() - t0)
-        # do not blow the benchmark budget when the device is having a slow
-        # day - one honest sample beats three that hit the driver timeout
+        t0 = time.time()
+        solved_r, compact_stats = compact_run(rep)
+        walls.append(time.time() - t0)
+        solved_seeds.append(int(solved_r))
+        # do not blow the benchmark budget when the device is having a
+        # slow day - honest partial data beats hitting the driver timeout
         if walls[-1] > 300:
             break
-    walls.sort()
-    wall = walls[len(walls) // 2]
+    wall = sorted(walls)[len(walls) // 2]
+    solved_mean = float(np.mean(solved_seeds))
 
     # reference-settings row: the SAME protocol at the reference's own
-    # algorithm settings (tolerance 0.02, single attempt — no restart
-    # schedule; compaction stays on, it is pure infrastructure), so the
-    # bench JSON records a vs_baseline ratio at algorithm-identical
-    # hyperparameters next to the tuned headline
+    # algorithm settings (tolerance 0.02, single attempt, no replication,
+    # exact simplify fixed point; compaction stays on - pure
+    # infrastructure), so the bench JSON records a vs_baseline ratio at
+    # algorithm-identical hyperparameters next to the tuned headline
     ref_settings = None
-    if os.environ.get("BENCH_REF_SETTINGS", "1") != "0" and use_compact:
-        from pdp_solver_tpu.solvers.compact import compacting_solve
-
+    if os.environ.get("BENCH_REF_SETTINGS", "1") != "0":
         solver_rs = PDPSolver(SolverConfig(
             model_type="p-d-p", tolerance=0.02, t_max=100,
             local_search_iterations=ls_iters, epsilon=0.5))
 
-        def ref_settings_run():
+        def ref_settings_run(seed=0):
+            r = jax.random.split(jax.random.PRNGKey(seed))[1]
             _, solved_list, _ = compacting_solve(
-                solver_rs, {}, r_fwd, insts, iters,
+                solver_rs, {}, r, insts, iters,
                 ls_iterations=ls_iters, chunk=chunk or 50,
                 min_edges=min_edges, schedule=None,
                 mirror_every=mirror_every)
@@ -266,7 +189,8 @@ def main():
             rs_solved = ref_settings_run()
             rs_wall = time.time() - t0
             ref_settings = {
-                "tolerance": 0.02, "attempts": 1,
+                "tolerance": 0.02, "attempts": 1, "replicas": 1,
+                "simplify_rounds": 0,
                 "solved_fraction": rs_solved / count,
                 "wall_s": round(rs_wall, 3),
                 "verified_solutions_per_sec": round(rs_solved / rs_wall, 4),
@@ -277,10 +201,12 @@ def main():
     # per-iteration slope between 50 and 150 iterations with walksat off,
     # the identical protocol to tools/measure_reference.py (termination
     # active, budgets small enough that instances stay in the active solve
-    # regime - disabling termination would instead measure the worst case
-    # where every simplify fixed point runs to full depth on all instances).
-    # Runs in chunks - single very long programs crash the tunneled TPU
-    # worker - and degrades gracefully if the device objects.
+    # regime). Runs in chunks; degrades gracefully if the device objects.
+    state = solver.get_init_state(
+        jax.random.PRNGKey(0), batch, randomized=True)
+    batch = jax.device_put(batch)
+    r_fwd = jax.random.split(jax.random.PRNGKey(0))[1]
+
     def fixed_step(rng, batch, state, carry, n_iters):
         _, state, carry = solver.forward(
             {}, rng, batch, state, n_iters,
@@ -302,10 +228,8 @@ def main():
         float(jnp.sum(carry[0].solution))      # real sync via D2H
         return time.time() - t0
 
-    # slope via minimum walls: tunnel throttling is strictly additive noise,
-    # so min(wall) over repeats is the consistent estimator of the true
-    # program cost and the min-wall difference is the per-iteration cost
-    # (a median of noisy differences can triple under a throttled regime)
+    # slope via minimum walls: tunnel throttling is strictly additive
+    # noise, so min(wall) is the consistent estimator of program cost
     per_iter = None
     try:
         lo_c, hi_c = 1, 3  # 50 vs 150 iterations, as measure_reference.py
@@ -319,7 +243,7 @@ def main():
     except Exception:
         per_iter = None
 
-    # per-phase slopes (median of 3) so the headline decomposes into the
+    # per-phase slopes (min-wall of 3) so the headline decomposes into the
     # SP-sweep and WalkSAT costs it is built from
     phases = {}
     if os.environ.get("BENCH_PHASES", "1") != "0":
@@ -371,6 +295,89 @@ def main():
         except Exception:
             phases = {}
 
+    # large-batch block: the reference's real operating point. SP-sweep
+    # and full-iteration slopes at 2048 instances / 7.37M real edges -
+    # where the chip is bandwidth-bound instead of dispatch-bound - plus
+    # HBM in use (headroom documentation).
+    large = None
+    if os.environ.get("BENCH_LARGE", "1") != "0":
+        try:
+            from functools import partial
+
+            from pdp_solver_tpu.modules import propagate as PR
+            from pdp_solver_tpu.problem.state import (
+                init_problem_state, compute_edge_mask)
+
+            lb_n = int(os.environ.get("BENCH_LARGE_N", "2048"))
+            lb_insts = make_ksat_set(count=lb_n)
+            lb_real_e = sum(i[2].shape[1] for i in lb_insts)
+            lb = jax.device_put(pack_instances(lb_insts))
+            lb_state = solver.get_init_state(
+                jax.random.PRNGKey(0), lb, randomized=True)
+            lp0 = init_problem_state(lb)
+            lem = compute_edge_mask(lb, lp0)
+            lae = jnp.ones((lb.num_edges,), jnp.float32)
+
+            @partial(jax.jit, static_argnums=0)
+            def lb_sweep(n, ps):
+                def body(i, ps):
+                    return PR.survey_propagator_apply(
+                        {}, solver.prop_cfg, lb, ps, ps, lem, lae)
+                return jax.lax.fori_loop(0, n, body, ps)
+
+            def lb_timed(n):
+                t0 = time.time()
+                out = lb_sweep(n, lb_state.prop)
+                float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+                return time.time() - t0
+
+            lb_sweep(2, lb_state.prop), lb_sweep(10, lb_state.prop)
+            lb_timed(2)
+            lo_w = [lb_timed(2) for _ in range(3)]
+            hi_w = [lb_timed(10) for _ in range(3)]
+            lb_slope = max((min(hi_w) - min(lo_w)) / 8, 1e-9)
+
+            # full pdp iteration slope at the large batch
+            lb_first = jax.jit(
+                lambda r, b, s, n: fixed_step(r, b, s, None, n),
+                static_argnames="n")
+            lb_next = jax.jit(fixed_step, static_argnames="n_iters")
+
+            def lb_run_fixed(n_chunks):
+                t0 = time.time()
+                st, carry = lb_first(r_fwd, lb, lb_state, step_chunk)
+                for c in range(1, n_chunks):
+                    st, carry = lb_next(jax.random.fold_in(r_fwd, c), lb,
+                                        st, carry, step_chunk)
+                float(jnp.sum(carry[0].solution))
+                return time.time() - t0
+
+            lb_run_fixed(3)
+            l1 = [lb_run_fixed(1) for _ in range(2)]
+            l3 = [lb_run_fixed(3) for _ in range(2)]
+            lb_iter = max((min(l3) - min(l1)) / (2 * step_chunk), 1e-9)
+
+            mem = {}
+            try:
+                ms = jax.devices()[0].memory_stats() or {}
+                mem = {"hbm_bytes_in_use": ms.get("bytes_in_use"),
+                       "hbm_bytes_limit": ms.get("bytes_limit")}
+            except Exception:
+                pass
+
+            large = {
+                "instances": lb_n,
+                "real_edges": lb_real_e,
+                "padded_edges": int(lb.num_edges),
+                "sp_sweep_ms": round(lb_slope * 1e3, 2),
+                "sweep_edge_updates_per_sec": round(lb_real_e / lb_slope),
+                "pdp_iteration_ms": round(lb_iter * 1e3, 2),
+                "edge_updates_per_sec": round(lb_real_e / lb_iter),
+                **mem,
+            }
+        except Exception:
+            large = None
+
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "baselines", "reference_measured.json")
     ref = None
@@ -381,7 +388,7 @@ def main():
     # headline: verified solutions produced per second - the product of
     # throughput and solved fraction, since processing unsolved instances
     # quickly has no value. Components reported alongside.
-    value = solved / wall
+    value = solved_mean / wall
     ref_rate = (ref["solved"] / ref["wall_s"]) if ref else None
     vs = (value / ref_rate) if ref_rate else None  # None for absent OR 0.0
     if ref_settings is not None and ref_rate:
@@ -396,7 +403,8 @@ def main():
         "instances_per_sec": round(count / wall, 3),
         "ref_instances_per_sec": (round(ref["instances_per_sec"], 3)
                                   if ref else None),
-        "solved_fraction": solved / count,
+        "solved_fraction": solved_mean / count,
+        "solved_fraction_seeds": [s / count for s in solved_seeds],
         "ref_solved_fraction": ref["solved_fraction"] if ref else None,
         "edge_updates_per_sec": (round(total_edges / per_iter)
                                  if per_iter else None),
@@ -405,13 +413,19 @@ def main():
         "iters": iters,
         "wall_s": round(wall, 3),
         "wall_samples_s": [round(w, 3) for w in walls],
+        "settings": {"tolerance": tol, "simplify_rounds": srounds,
+                     "replicas": replicas,
+                     "schedule": sched_env if schedule else None,
+                     "chunk": chunk, "min_edges": min_edges},
         "phases": phases,
         "reference_settings": ref_settings,
+        "large_batch": large,
         "compaction": (None if compact_stats is None else {
             "ladder": compact_stats["compactions"],
             "pdp_wall_s": compact_stats["pdp_wall_s"],
             "ls_wall_s": compact_stats["ls_wall_s"]}),
         "warmup_s": round(compile_and_first, 1),
+        "compile_cache": cache_stats(),
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
         "dataset_fingerprint": dataset_fingerprint(insts),
