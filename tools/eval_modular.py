@@ -75,8 +75,9 @@ def main():
     out = {"iters": iters, "ls": ls, "count": count,
            "backend": jax.default_backend(), "solver": "p-d-p classical",
            "tolerance": 0.02, "t_max": 100}
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                        "docs", "eval_modular_r3.json")
+    path = os.environ.get("EVAL_OUT") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..",
+        "docs", "eval_modular_r4.json")
     # merge into an existing report so family-targeted reruns keep rows
     if os.path.exists(path) and os.environ.get("EVAL_MERGE", "1") == "1":
         with open(path) as f:
@@ -88,20 +89,55 @@ def main():
         model_type="p-d-p", tolerance=0.02, t_max=100,
         local_search_iterations=ls, epsilon=0.5))
 
+    # community-major reordering (fg/reorder.py): recovers the planted
+    # communities and renumbers variables so the hybrid based-window
+    # reduce replaces the XLA-scatter fallback these packs otherwise ride
+    # (round-3 cost: ~9 min per n=10k instance). Semantically a variable
+    # renaming; solutions are mapped back and re-verified on the ORIGINAL
+    # formula below.
+    use_reorder = os.environ.get("EVAL_REORDER", "1") == "1"
+    from pdp_solver_tpu.fg.reorder import reorder_instances, restore_solution
+    from pdp_solver_tpu.fg.batch import pack_instances as _pack
+
+    def _host_verify(inst, sol):
+        n, m, gmap, signs = inst[0], int(inst[1]), inst[2], inst[3]
+        val = np.asarray(sol)[gmap[0]]
+        lit = np.where(np.asarray(signs) > 0, val, 1.0 - val)
+        sat_c = np.zeros(m, bool)
+        np.logical_or.at(sat_c, gmap[1], lit > 0.5)
+        return bool(sat_c.all())
+
     for name, gen in gens.items():
         insts = [gen.generate() for _ in range(count)]
         dims = {"vars": [int(i[0]) for i in insts],
                 "clauses": [int(i[1]) for i in insts],
                 "edges": [int(i[2].shape[1]) for i in insts]}
         t0 = time.time()
-        _, solved, stats = compacting_solve(
-            solver, {}, jax.random.PRNGKey(0), insts, iters,
+        run_insts, orders = (reorder_instances(insts) if use_reorder
+                             else (insts, None))
+        reorder_s = round(time.time() - t0, 2)
+        probe = _pack(run_insts[:1])
+        sols, solved, stats = compacting_solve(
+            solver, {}, jax.random.PRNGKey(0), run_insts, iters,
             ls_iterations=ls, chunk=chunk, verbose=True)
+        if use_reorder:
+            # map back to original variable ids and re-verify on the host
+            # against the ORIGINAL formula (end-to-end check of the
+            # renaming + the on-device verifier)
+            for i, (sol, ok) in enumerate(zip(sols, solved)):
+                if ok:
+                    rs = restore_solution(sol, orders[i])
+                    assert _host_verify(insts[i], rs), \
+                        f"{name}[{i}]: restored solution fails verification"
         out[name] = {
             "solved": int(sum(solved)),
             "count": count,
             "solved_fraction": sum(solved) / count,
             "wall_s": round(time.time() - t0, 1),
+            "reorder_s": reorder_s,
+            "reordered": use_reorder,
+            "fast_var": bool(probe.fast_var),
+            "hybrid_var": bool(probe.hybrid_var),
             "mean_vars": int(np.mean(dims["vars"])),
             "mean_edges": int(np.mean(dims["edges"])),
             "compactions": stats["compactions"],

@@ -33,6 +33,20 @@ CONFIGS = {
     "rep3":      dict(srounds=1, replicas=3, sched=None),
     "rep2sr0":   dict(srounds=0, replicas=2, sched=None),
     "rep2half":  dict(srounds=1, replicas=2, sched=None, iters=500),
+    # decimation value saturates by iter ~300 while the LS phases deliver
+    # solves at ~10x less wall per solve (docs/r4_replica_probe.json
+    # r3default progress curves): shorter attempts, more LS phases
+    "sched3":     dict(srounds=1, replicas=1,
+                       sched=[(350, 350), (350, 350), (300, 300)]),
+    "rep2sched3": dict(srounds=1, replicas=2,
+                       sched=[(350, 350), (350, 350), (300, 300)]),
+    "sched4":     dict(srounds=1, replicas=1,
+                       sched=[(250, 250)] * 4),
+    "rep2sched4": dict(srounds=1, replicas=2,
+                       sched=[(250, 250)] * 4),
+    # LS-heavy: decimation saturates by ~300; give WalkSAT the tail
+    "lsheavy":    dict(srounds=1, replicas=1,
+                       sched=[(300, 400), (300, 300), (400, 300)]),
 }
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
