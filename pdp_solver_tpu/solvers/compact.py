@@ -30,6 +30,7 @@ refuses ambiguous batches) and gathered slice-by-slice into the new
 layout, zero-filled on padding (every consumer masks padding).
 """
 
+import sys
 import time
 
 import numpy as np
@@ -325,11 +326,14 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
             # handler that restores from the mirror
             active_b = np.asarray(carry[1])[:len(live)]
             solved_b = np.asarray(sv)[:len(live)]
-        except Exception:
+        except Exception as e:
             if not resilient or chunk <= min_chunk:
                 raise
             chunk = max(chunk // 2, min_chunk)
             stats["faults"] += 1
+            print(f"[compact] device fault at iter {done} "
+                  f"({type(e).__name__}): rewind to {mirror_done}, "
+                  f"chunk -> {chunk}", file=sys.stderr, flush=True)
             state = jax.device_put(mirror[0])
             carry = (None if mirror[1] is None
                      else jax.device_put(mirror[1]))
@@ -470,11 +474,15 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
                 if resilient and ls_chunks % mirror_every == 0:
                     ls_mirror = (np.asarray(pred), np.asarray(sv))
                     ls_mirror_done = done_ls + n
-            except Exception:
+            except Exception as e:
                 if not resilient or ls_chunk <= min_chunk:
                     raise
                 ls_chunk = max(ls_chunk // 2, min_chunk)
                 stats["faults"] += 1
+                print(f"[compact] device fault in local search at "
+                      f"{done_ls} ({type(e).__name__}): rewind to "
+                      f"{ls_mirror_done}, ls_chunk -> {ls_chunk}",
+                      file=sys.stderr, flush=True)
                 pred = jnp.asarray(ls_mirror[0])
                 sv = jnp.asarray(ls_mirror[1])
                 # rewind to the mirror point: with sparse mirrors the lost
