@@ -72,7 +72,15 @@ def main():
 
     out = {"iters": iters, "ls": ls, "ckpt": which,
            "backend": jax.default_backend()}
-    path = os.path.join(outdir, "eval_r3_report.json")
+    path = os.environ.get("EVAL_REPORT") or os.path.join(
+        outdir, "eval_r3_report.json")
+    # merge: targeted reruns (EVAL_SETS/EVAL_MODES/EVAL_SKIP_*) must keep
+    # the rows they did not recompute
+    if os.path.exists(path) and os.environ.get("EVAL_MERGE", "1") == "1":
+        with open(path) as f:
+            prev = json.load(f)
+        for k, v in prev.items():
+            out.setdefault(k, v)
     for tag in ("trained", "untrained"):
         if os.environ.get("EVAL_SKIP_UNTRAINED") and tag == "untrained":
             continue
@@ -82,7 +90,12 @@ def main():
         if tag == "trained":
             trainer._load_params(ckpt)
         for name, insts in sets.items():
+            mode_filter = [m for m in
+                           os.environ.get("EVAL_MODES", "").split(",") if m]
             for mode, ls_it in (("no_ls", 0), (f"ls{ls}", ls)):
+                if mode_filter and not any(
+                        mode.startswith(m) for m in mode_filter):
+                    continue
                 frac, wall = solved_fraction_chunked(
                     trainer.solver, trainer.params, insts, iters, ls_it,
                     chunk)
