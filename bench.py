@@ -85,8 +85,13 @@ def main():
 
     # restart schedule: attempt budgets sum to exactly the protocol budgets
     # (iters, ls_iters); unsolved instances re-enter with a fresh message
-    # init (solve quality depends strongly on the init basin)
-    sched_env = os.environ.get("BENCH_SCHEDULE", "0.5,0.5")
+    # init (solve quality depends strongly on the init basin). Default
+    # 3 attempts (0.35/0.35/0.30): the measured progress curves show
+    # decimation value saturates by iteration ~300 of an attempt, so a
+    # third basin+LS phase beats burning iterations 500-1000 in one
+    # (docs/r4_replica_probe.json: 85.0 solved vs 76.0 at 2x500, equal
+    # clean-run wall)
+    sched_env = os.environ.get("BENCH_SCHEDULE", "0.35,0.35,0.3")
     fracs = [float(x) for x in sched_env.split(",") if x]
     schedule = [(max(int(iters * f), 1), max(int(ls_iters * f), 1))
                 for f in fracs]

@@ -47,6 +47,13 @@ CONFIGS = {
     # LS-heavy: decimation saturates by ~300; give WalkSAT the tail
     "lsheavy":    dict(srounds=1, replicas=1,
                        sched=[(300, 400), (300, 300), (400, 300)]),
+    # faster decimation cadence on the sched3 winner
+    "tol008":     dict(srounds=1, replicas=1, tol=0.08,
+                       sched=[(350, 350), (350, 350), (300, 300)]),
+    "tmax50":     dict(srounds=1, replicas=1, t_max=50,
+                       sched=[(350, 350), (350, 350), (300, 300)]),
+    "tol008tm50": dict(srounds=1, replicas=1, tol=0.08, t_max=50,
+                       sched=[(350, 350), (350, 350), (300, 300)]),
 }
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -81,7 +88,8 @@ def main():
         c = CONFIGS[name]
         iters = c.get("iters", base_iters)
         solver = PDPSolver(SolverConfig(
-            model_type="p-d-p", tolerance=tol, t_max=100,
+            model_type="p-d-p", tolerance=c.get("tol", tol),
+            t_max=c.get("t_max", 100),
             local_search_iterations=ls_iters, epsilon=0.5,
             simplify_rounds=c["srounds"]))
 
