@@ -278,6 +278,15 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
     state = solver.get_init_state(r_init, batch, randomized=True)
     carry = None
 
+    # pre-split the per-chunk PRNG keys ONCE and land them on the host:
+    # an eager jax.random.split per chunk is a full tunnel round-trip
+    # (~0.1-0.3 s each, ~25 chunks per solve); a host-resident pool rides
+    # the H2D of the next jitted call instead
+    n_pool = (iterations // max(min_chunk, 1)
+              + ls_iterations // max(min_chunk, 1) + 16)
+    key_pool = np.asarray(jax.random.split(rng, n_pool))
+    ki = 0
+
     first_fn, step_fn, ls_fn = _compact_fns(solver)
 
     # progress: (iteration, owners solved so far, wall) per harvest — the
@@ -291,34 +300,41 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
     # bucket, so repeated runs hit the same compiled programs)
     chunk0, e0 = chunk, batch.num_edges
     sv_aligned = True   # does `sv` index the current live list?
-    mirror = ((jax.tree_util.tree_map(np.asarray, state), None)
-              if resilient else None)
+    # LAZY initial mirror: get_init_state is deterministic in r_init, so a
+    # fault before the first real mirror re-creates the init state on
+    # device instead of paying an upfront full-state D2H pull per attempt
+    # (measured ~0.5-1 s over the tunnel; the bench runs 3 attempts)
+    mirror = (None, None) if resilient else None
     mirror_done = 0
-    # rng + chunk counter snapshot at the mirror point: a fault must replay
-    # the lost chunks with the SAME keys and keep the mirror cadence
-    # (chunks % mirror_every) aligned with the restored state
-    mirror_rng = rng
+    # key-pool index + chunk counter snapshot at the mirror point: a fault
+    # must replay the lost chunks with the SAME keys and keep the mirror
+    # cadence aligned with the restored state
+    mirror_ki = ki
     mirror_chunks = 0
     n_finished_prev = 0
     t0 = time.time()
     while done < iterations and live:
-        rng, r = jax.random.split(rng)
+        r = key_pool[ki % n_pool]
+        ki += 1
         n = min(chunk, iterations - done)
         try:
             if carry is None:
                 state, carry, sv = first_fn(params, r, batch, state, n)
             else:
                 state, carry, sv = step_fn(params, r, batch, state, carry, n)
-            if resilient and stats["chunks"] % mirror_every == 0:
+            if resilient and (stats["chunks"] + 1) % mirror_every == 0:
                 # force completion so a fault surfaces HERE while the last
                 # good carry still exists on the host. mirror_every > 1
                 # trades fault-recovery granularity for less device->host
                 # traffic (the full carry is ~25 MB at bench shapes; the
-                # small per-chunk active/solved reads below stay)
+                # small per-chunk active/solved reads below stay). The
+                # cadence fires at chunks mirror_every-1, 2*mirror_every-1,
+                # ... so the FIRST chunk does not pay the full pull (the
+                # lazy initial mirror covers faults before then).
                 mirror = (jax.tree_util.tree_map(np.asarray, state),
                           jax.tree_util.tree_map(np.asarray, carry))
                 mirror_done = done + n
-                mirror_rng = rng
+                mirror_ki = ki
                 mirror_chunks = stats["chunks"] + 1
             # blocking per-chunk reads INSIDE the try: the jitted chunk is
             # async, so on non-mirrored chunks (mirror_every > 1) a device
@@ -334,14 +350,21 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
             print(f"[compact] device fault at iter {done} "
                   f"({type(e).__name__}): rewind to {mirror_done}, "
                   f"chunk -> {chunk}", file=sys.stderr, flush=True)
-            state = jax.device_put(mirror[0])
-            carry = (None if mirror[1] is None
-                     else jax.device_put(mirror[1]))
-            # `done`/rng/chunk-counter track the mirror: chunks since the
-            # last mirror are lost and replayed with identical keys (only
-            # matters when mirror_every > 1)
+            if mirror[0] is None:
+                # lazy initial mirror: re-create the deterministic init
+                # state on device (same r_init => same state)
+                state = solver.get_init_state(r_init, batch,
+                                              randomized=True)
+                carry = None
+            else:
+                state = jax.device_put(mirror[0])
+                carry = (None if mirror[1] is None
+                         else jax.device_put(mirror[1]))
+            # `done`/key-index/chunk-counter track the mirror: chunks
+            # since the last mirror are lost and replayed with identical
+            # keys (only matters when mirror_every > 1)
             done = mirror_done
-            rng = mirror_rng
+            ki = mirror_ki
             stats["chunks"] = mirror_chunks
             # the finished set rolls back with the mirror; a stale high
             # count would mask post-restore finishes from the harvest
@@ -402,7 +425,7 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
                     # the next chunk would restore stale-shaped arrays
                     mirror = (new_state_h, new_carry_h)
                     mirror_done = done
-                    mirror_rng = rng
+                    mirror_ki = ki
                     mirror_chunks = stats["chunks"]
                 live = [live[s] for s in keep]
                 batch, slices = tentative, new_slices
@@ -455,7 +478,8 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
         problem = jax.device_put(
             _unpark(parked, ls_owner, ls_batch, ls_slices))
 
-        rng, r_fill = jax.random.split(rng)
+        r_fill = key_pool[ki % n_pool]
+        ki += 1
         noise = (jax.random.uniform(r_fill, (ls_batch.num_vars, 1))
                  > 0.5).astype(jnp.float32)
         pred = jnp.where(problem.active_vars[:, None] > 0, noise,
@@ -465,8 +489,10 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
         ls_mirror = (np.asarray(pred), np.asarray(sv))
         ls_mirror_done = 0
         ls_chunks = 0
+        ls_ki = ki
         while done_ls < ls_iterations:
-            rng, r = jax.random.split(rng)
+            r = key_pool[ls_ki % n_pool]
+            ls_ki += 1
             n = min(ls_chunk, ls_iterations - done_ls)
             try:
                 pred, sv = ls_fn(r, ls_batch, problem, pred, n)
