@@ -73,11 +73,12 @@ def main():
     # src/pdp/nn/solver.py:56-99) and the restart schedule below. The
     # reference_settings row keeps the reference's exact semantics
     # (tolerance 0.02, single attempt, no replication, srounds=0).
-    tol = float(os.environ.get("BENCH_TOL", "0.05"))
+    tol = float(os.environ.get("BENCH_TOL", "0.08"))
+    t_max = int(os.environ.get("BENCH_TMAX", "50"))
     srounds = int(os.environ.get("BENCH_SIMPLIFY_ROUNDS", "1"))
     replicas = int(os.environ.get("BENCH_REPLICAS", "1"))
     solver = PDPSolver(SolverConfig(
-        model_type="p-d-p", tolerance=tol, t_max=100,
+        model_type="p-d-p", tolerance=tol, t_max=t_max,
         local_search_iterations=ls_iters, epsilon=0.5,
         decimation_threshold=float(os.environ.get("BENCH_DEC_THETA", "1.0")),
         decimation_guard=float(os.environ.get("BENCH_DEC_GUARD", "0")),
@@ -418,7 +419,8 @@ def main():
         "iters": iters,
         "wall_s": round(wall, 3),
         "wall_samples_s": [round(w, 3) for w in walls],
-        "settings": {"tolerance": tol, "simplify_rounds": srounds,
+        "settings": {"tolerance": tol, "t_max": t_max,
+                     "simplify_rounds": srounds,
                      "replicas": replicas,
                      "schedule": sched_env if schedule else None,
                      "chunk": chunk, "min_edges": min_edges},
