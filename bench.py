@@ -137,6 +137,10 @@ def main():
     try:
         warm_solved, _ = compact_run(0)
     except Exception:
+        import traceback
+        print("[bench] tuned configuration failed at warm-up, degrading "
+              "to the plain solve:", file=sys.stderr)
+        traceback.print_exc()
         replicas, schedule = 1, None
 
         def compact_run(seed):  # noqa: F811 - deliberate redefinition
@@ -382,6 +386,9 @@ def main():
                 **mem,
             }
         except Exception:
+            import traceback
+            print("[bench] large_batch block failed:", file=sys.stderr)
+            traceback.print_exc()
             large = None
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
