@@ -110,7 +110,7 @@ def main():
     # remote compile on the tunneled TPU; stop earlier there
     min_edges = int(os.environ.get(
         "BENCH_MIN_EDGES",
-        "131072" if jax.default_backend() == "tpu" else "32768"))
+        "65536" if jax.default_backend() == "tpu" else "32768"))
     # the fault-tolerance mirror copies solver state+carry device->host;
     # over the tunneled TPU link that is a multi-second tax per chunk,
     # so mirror sparsely there
