@@ -347,26 +347,6 @@ def main():
             hi_w = [lb_timed(10) for _ in range(3)]
             lb_slope = max((min(hi_w) - min(lo_w)) / 8, 1e-9)
 
-            # full pdp iteration slope at the large batch
-            lb_first = jax.jit(
-                lambda r, b, s, n: fixed_step(r, b, s, None, n),
-                static_argnames="n")
-            lb_next = jax.jit(fixed_step, static_argnames="n_iters")
-
-            def lb_run_fixed(n_chunks):
-                t0 = time.time()
-                st, carry = lb_first(r_fwd, lb, lb_state, step_chunk)
-                for c in range(1, n_chunks):
-                    st, carry = lb_next(jax.random.fold_in(r_fwd, c), lb,
-                                        st, carry, step_chunk)
-                float(jnp.sum(carry[0].solution))
-                return time.time() - t0
-
-            lb_run_fixed(3)
-            l1 = [lb_run_fixed(1) for _ in range(2)]
-            l3 = [lb_run_fixed(3) for _ in range(2)]
-            lb_iter = max((min(l3) - min(l1)) / (2 * step_chunk), 1e-9)
-
             mem = {}
             try:
                 ms = jax.devices()[0].memory_stats() or {}
@@ -381,15 +361,57 @@ def main():
                 "padded_edges": int(lb.num_edges),
                 "sp_sweep_ms": round(lb_slope * 1e3, 2),
                 "sweep_edge_updates_per_sec": round(lb_real_e / lb_slope),
-                "pdp_iteration_ms": round(lb_iter * 1e3, 2),
-                "edge_updates_per_sec": round(lb_real_e / lb_iter),
                 **mem,
             }
         except Exception:
             import traceback
-            print("[bench] large_batch block failed:", file=sys.stderr)
+            print("[bench] large_batch sweep block failed:", file=sys.stderr)
             traceback.print_exc()
             large = None
+
+        # full pdp iteration slope at a medium-large batch (the full
+        # iteration program at 8.4M padded edges is a very large remote
+        # compile; 1024 instances / 4.2M padded edges carries the same
+        # bandwidth-bound regime) - independent of the sweep block above
+        try:
+            mb_n = int(os.environ.get("BENCH_LARGE_ITER_N", "1024"))
+            mb_insts = make_ksat_set(count=mb_n)
+            mb_real_e = sum(i[2].shape[1] for i in mb_insts)
+            mb = jax.device_put(pack_instances(mb_insts))
+            mb_state = solver.get_init_state(
+                jax.random.PRNGKey(0), mb, randomized=True)
+
+            mb_first = jax.jit(
+                lambda r, b, s, n: fixed_step(r, b, s, None, n),
+                static_argnames="n")
+            mb_next = jax.jit(fixed_step, static_argnames="n_iters")
+
+            def mb_run_fixed(n_chunks):
+                t0 = time.time()
+                st, carry = mb_first(r_fwd, mb, mb_state, step_chunk)
+                for c in range(1, n_chunks):
+                    st, carry = mb_next(jax.random.fold_in(r_fwd, c), mb,
+                                        st, carry, step_chunk)
+                float(jnp.sum(carry[0].solution))
+                return time.time() - t0
+
+            mb_run_fixed(3)
+            l1 = [mb_run_fixed(1) for _ in range(2)]
+            l3 = [mb_run_fixed(3) for _ in range(2)]
+            mb_iter = max((min(l3) - min(l1)) / (2 * step_chunk), 1e-9)
+            if large is None:
+                large = {}
+            large.update({
+                "iter_instances": mb_n,
+                "iter_real_edges": mb_real_e,
+                "pdp_iteration_ms": round(mb_iter * 1e3, 2),
+                "edge_updates_per_sec": round(mb_real_e / mb_iter),
+            })
+        except Exception:
+            import traceback
+            print("[bench] large_batch iteration block failed:",
+                  file=sys.stderr)
+            traceback.print_exc()
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "baselines", "reference_measured.json")
