@@ -363,3 +363,38 @@ def test_replicas_match_single_on_quality(rng):
     s1 = run(1)
     s2 = run(2)
     assert s2 >= s1 - 1  # allow one-instance basin noise
+
+
+def test_fault_on_first_chunk_lazy_mirror(rng):
+    """A fault on the VERY FIRST chunk, before any full mirror exists
+    (mirror_every > 1 + the round-4 lazy initial mirror), must re-create
+    the deterministic init state from its key and still complete with
+    verified solutions."""
+    insts, clause_lists = _mixed_instances(rng, counts=((30, 3.0),), per=6)
+    solver = PDPSolver(SolverConfig(
+        model_type="p-d-p", tolerance=0.02, t_max=100,
+        local_search_iterations=200, epsilon=0.5))
+    from pdp_solver_tpu.solvers.compact import _compact_fns
+    fns = _compact_fns(solver)
+    calls = {"n": 0}
+
+    def wrap(fn):
+        def f(*args, **kw):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected device fault")
+            return fn(*args, **kw)
+        return f
+
+    solver._compact_jit_fns = (wrap(fns[0]), wrap(fns[1]), fns[2])
+    try:
+        solutions, solved, stats = compacting_solve(
+            solver, {}, jax.random.PRNGKey(0), insts, 150,
+            chunk=25, min_edges=0, min_chunk=5, mirror_every=4)
+    finally:
+        solver._compact_jit_fns = fns
+    assert stats["faults"] == 1
+    assert sum(solved) >= 4
+    for sol, ok, cl in zip(solutions, solved, clause_lists):
+        if ok:
+            assert check_assignment(cl, sol)
