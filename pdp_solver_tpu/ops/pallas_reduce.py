@@ -123,7 +123,11 @@ def _make_based_kernel(ncols):
     """Like _make_kernel but the window base comes from a per-tile input
     instead of min(ids): ids outside [base, base + WINDOW) contribute
     nothing (the one-hot has no matching column), which is exactly the
-    static residual set the caller handles with a small scatter."""
+    static residual set the caller handles with a small scatter.
+
+    The bases vector rides whole in SMEM (Mosaic rejects rank-1 blocks
+    smaller than the 128-lane tiling; a per-tile (1,) block is illegal on
+    real TPU) and is indexed by program_id."""
     def _kernel(base_ref, ids_ref, *refs):
         col_refs, out_ref = refs[:ncols], refs[ncols]
         step = pl.program_id(0)
@@ -134,7 +138,7 @@ def _make_based_kernel(ncols):
 
         ids = ids_ref[:]
         x = jnp.stack([r[:] for r in col_refs], axis=0)   # f32[C, T]
-        base = base_ref[0]
+        base = base_ref[step]
         base = pl.multiple_of(base, ALIGN)
         rel = ids - base
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE, WINDOW), 1)
@@ -160,10 +164,15 @@ def _run_based(cols, segment_ids, bases, num_segments, interpret):
         raise ValueError("bases must have one entry per edge tile")
     N_pad = -(-num_segments // ALIGN) * ALIGN + WINDOW
 
+    from jax.experimental.pallas import tpu as pltpu
+    n_tiles = E // TILE
+    base_spec = (pl.BlockSpec((n_tiles,), lambda i: (0,))
+                 if interpret else
+                 pl.BlockSpec(memory_space=pltpu.SMEM))
     out = pl.pallas_call(
         _make_based_kernel(C),
-        grid=(E // TILE,),
-        in_specs=[pl.BlockSpec((1,), lambda i: (i,))]
+        grid=(n_tiles,),
+        in_specs=[base_spec]
         + [pl.BlockSpec((TILE,), lambda i: (i,))] * (1 + C),
         out_specs=pl.BlockSpec((C, N_pad), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((C, N_pad), jnp.float32),
