@@ -94,7 +94,10 @@ def main():
                                       local_search_iteration=ls,
                                       test_recurrence_num=iters), seed=0)
             ckpt = os.path.join(MODELS, spec["ckpt"], "best")
-            trained = os.path.exists(ckpt)
+            # the trainer creates the directory at launch; only a .npz
+            # means a checkpoint was actually written
+            trained = os.path.exists(os.path.join(
+                ckpt, spec["ckpt"] + ".npz"))
             if trained:
                 trainer._load_params(ckpt)
             else:
