@@ -68,11 +68,13 @@ def main():
 
     # solver operating point (validated end-to-end across message-init
     # seeds, docs/r4_headline_bisect.json): reference argmax decimation, a
-    # looser convergence tolerance than the reference's 0.02, in-batch
-    # replication (the reference's own batch_replication feature,
-    # src/pdp/nn/solver.py:56-99) and the restart schedule below. The
-    # reference_settings row keeps the reference's exact semantics
-    # (tolerance 0.02, single attempt, no replication, srounds=0).
+    # looser convergence tolerance than the reference's 0.02, and the
+    # restart schedule below. In-batch replication (the reference's own
+    # batch_replication feature, src/pdp/nn/solver.py:56-99) is an
+    # available lever via BENCH_REPLICAS but is NOT part of the default
+    # headline settings (replicas=1). The reference_settings row keeps the
+    # reference's exact semantics (tolerance 0.02, single attempt, no
+    # replication, srounds=0).
     tol = float(os.environ.get("BENCH_TOL", "0.08"))
     t_max = int(os.environ.get("BENCH_TMAX", "50"))
     srounds = int(os.environ.get("BENCH_SIMPLIFY_ROUNDS", "1"))
@@ -118,14 +120,26 @@ def main():
         "BENCH_MIRROR_EVERY",
         "8" if jax.default_backend() == "tpu" else "1"))
 
-    def compact_run(seed):
-        r = jax.random.split(jax.random.PRNGKey(seed))[1]
-        _, solved_list, stats = compacting_solve(
-            solver, {}, r, insts, iters,
-            ls_iterations=ls_iters, chunk=chunk or 50,
-            min_edges=min_edges, schedule=schedule,
-            mirror_every=mirror_every, replicas=replicas)
-        return sum(solved_list), stats
+    def make_run(sched, reps):
+        def run(seed):
+            r = jax.random.split(jax.random.PRNGKey(seed))[1]
+            _, solved_list, stats = compacting_solve(
+                solver, {}, r, insts, iters,
+                ls_iterations=ls_iters, chunk=chunk or 50,
+                min_edges=min_edges, schedule=sched,
+                mirror_every=mirror_every, replicas=reps)
+            return sum(solved_list), stats
+        return run
+
+    def degrade():
+        """Fall back to the plain single-attempt solve: never let the
+        tuned configuration (or an exhausted resilience budget) take the
+        whole benchmark down."""
+        nonlocal replicas, schedule
+        replicas, schedule = 1, None
+        return make_run(None, 1)
+
+    compact_run = make_run(schedule, replicas)
 
     # warm-up: compile every distinct program the timed runs will execute
     # (the compaction bucket ladder is deterministic given the seed; other
@@ -141,35 +155,48 @@ def main():
         print("[bench] tuned configuration failed at warm-up, degrading "
               "to the plain solve:", file=sys.stderr)
         traceback.print_exc()
-        replicas, schedule = 1, None
-
-        def compact_run(seed):  # noqa: F811 - deliberate redefinition
-            r = jax.random.split(jax.random.PRNGKey(seed))[1]
-            _, solved_list, stats = compacting_solve(
-                solver, {}, r, insts, iters,
-                ls_iterations=ls_iters, chunk=chunk or 50,
-                min_edges=min_edges, schedule=None,
-                mirror_every=mirror_every)
-            return sum(solved_list), stats
-
+        compact_run = degrade()
         warm_solved, _ = compact_run(0)
     compile_and_first = time.time() - t0
 
     # timed solves at DIFFERENT message-init seeds: wall = median, solved
     # = mean over seeds (basin spread is +-5pp; n=1 solved counts are
-    # noise). The sync point is the D2H of the solved count.
+    # noise). The sync point is the D2H of the solved count. A rep that
+    # faults terminally (resilience exhausted / tunnel disconnect)
+    # degrades to the plain solve for the remaining reps; partial wall
+    # samples beat no JSON line at all.
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     walls, solved_seeds = [], []
     compact_stats = None
     for rep in range(max(repeats, 1)):
         t0 = time.time()
-        solved_r, compact_stats = compact_run(rep)
+        try:
+            solved_r, compact_stats = compact_run(rep)
+        except Exception:
+            import traceback
+            print(f"[bench] timed rep {rep} failed:", file=sys.stderr)
+            traceback.print_exc()
+            if schedule is None and replicas == 1:
+                break               # already plain: keep partial samples
+            compact_run = degrade()
+            try:
+                t0 = time.time()
+                solved_r, compact_stats = compact_run(rep)
+            except Exception:
+                traceback.print_exc()
+                break
         walls.append(time.time() - t0)
         solved_seeds.append(int(solved_r))
         # do not blow the benchmark budget when the device is having a
         # slow day - honest partial data beats hitting the driver timeout
         if walls[-1] > 300:
             break
+    if not walls:
+        # every timed rep failed: report the warm-up run (its wall
+        # includes compilation, so this understates - but it is honest
+        # data and keeps the one-JSON-line contract)
+        walls = [compile_and_first]
+        solved_seeds = [int(warm_solved)]
     wall = sorted(walls)[len(walls) // 2]
     solved_mean = float(np.mean(solved_seeds))
 

@@ -281,9 +281,13 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
     # pre-split the per-chunk PRNG keys ONCE and land them on the host:
     # an eager jax.random.split per chunk is a full tunnel round-trip
     # (~0.1-0.3 s each, ~25 chunks per solve); a host-resident pool rides
-    # the H2D of the next jitted call instead
-    n_pool = (iterations // max(min_chunk, 1)
-              + ls_iterations // max(min_chunk, 1) + 16)
+    # the H2D of the next jitted call instead. Sized from the SMALLEST
+    # chunk any path can issue (a caller may pass chunk < min_chunk, and
+    # faults shrink toward min_chunk) so `ki` never wraps and reuses keys
+    # within one solve; the assert below guards the invariant.
+    denom = max(min(chunk, min_chunk), 1)
+    ls_denom = max(min(ls_chunk, min_chunk), 1)
+    n_pool = (iterations // denom + ls_iterations // ls_denom + 16)
     key_pool = np.asarray(jax.random.split(rng, n_pool))
     ki = 0
 
@@ -314,7 +318,7 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
     n_finished_prev = 0
     t0 = time.time()
     while done < iterations and live:
-        r = key_pool[ki % n_pool]
+        r = key_pool[ki]   # IndexError = pool-sizing bug, fail loud
         ki += 1
         n = min(chunk, iterations - done)
         try:
@@ -478,7 +482,7 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
         problem = jax.device_put(
             _unpark(parked, ls_owner, ls_batch, ls_slices))
 
-        r_fill = key_pool[ki % n_pool]
+        r_fill = key_pool[ki]
         ki += 1
         noise = (jax.random.uniform(r_fill, (ls_batch.num_vars, 1))
                  > 0.5).astype(jnp.float32)
@@ -490,8 +494,14 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
         ls_mirror_done = 0
         ls_chunks = 0
         ls_ki = ki
+        # key-index + chunk-counter snapshots at the mirror, like the main
+        # loop's mirror_ki/mirror_chunks: replayed LS chunks must use the
+        # SAME keys and keep the mirror cadence aligned, or fault recovery
+        # is non-deterministic
+        ls_mirror_ki = ls_ki
+        ls_mirror_chunks = 0
         while done_ls < ls_iterations:
-            r = key_pool[ls_ki % n_pool]
+            r = key_pool[ls_ki]
             ls_ki += 1
             n = min(ls_chunk, ls_iterations - done_ls)
             try:
@@ -500,6 +510,8 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
                 if resilient and ls_chunks % mirror_every == 0:
                     ls_mirror = (np.asarray(pred), np.asarray(sv))
                     ls_mirror_done = done_ls + n
+                    ls_mirror_ki = ls_ki
+                    ls_mirror_chunks = ls_chunks
             except Exception as e:
                 if not resilient or ls_chunk <= min_chunk:
                     raise
@@ -512,8 +524,10 @@ def _solve_attempt(solver, params, rng, instances, iterations, *,
                 pred = jnp.asarray(ls_mirror[0])
                 sv = jnp.asarray(ls_mirror[1])
                 # rewind to the mirror point: with sparse mirrors the lost
-                # chunks must be replayed, not skipped
+                # chunks must be replayed with identical keys, not skipped
                 done_ls = ls_mirror_done
+                ls_ki = ls_mirror_ki
+                ls_chunks = ls_mirror_chunks
                 continue
             done_ls += n
             sv_h = np.asarray(sv)[:len(ls_owner)]

@@ -24,6 +24,13 @@ def save_params(path_base, tree, name):
     np.savez(os.path.join(path_base, name + ".npz"), **_flatten(tree))
 
 
+def checkpoint_keys(path_base, name):
+    """Flat key list stored in a checkpoint (for feature-detecting optional
+    subtrees, e.g. pre-round-5 checkpoints carry no optimizer state)."""
+    data = np.load(os.path.join(path_base, name + ".npz"))
+    return list(data.files)
+
+
 def load_params(path_base, template, name):
     """Restore into the structure of `template` (shapes must match)."""
     fname = os.path.join(path_base, name + ".npz")

@@ -475,15 +475,35 @@ class SatTrainer:
         self.global_step = restored["global_step"]
 
     def _save_train_state(self, train_state: TrainState, path):
+        """Full train-state checkpoint: params + OPTIMIZER state +
+        global_step. The reference only persists the model state_dict
+        (src/pdp/nn/solver.py:318-322) so every resume resets Adam moments;
+        here long runs restart via the supervisor dozens of times, so the
+        optax state must survive for the resumed run to be a continuation
+        of the unbroken one (tests/test_checkpoint_continuity.py)."""
         ckpt.save_params(path, {
             "params": train_state.params,
+            "opt": train_state.opt_state,
             "global_step": train_state.global_step,
         }, self.solver.cfg.name)
 
     def _load_train_state(self, train_state: TrainState, path):
+        name = self.solver.cfg.name
+        has_opt = any(k.startswith("['opt']")
+                      for k in ckpt.checkpoint_keys(path, name))
+        if has_opt:
+            restored = ckpt.load_params(path, {
+                "params": train_state.params,
+                "opt": train_state.opt_state,
+                "global_step": train_state.global_step,
+            }, name)
+            return train_state._replace(params=restored["params"],
+                                        opt_state=restored["opt"],
+                                        global_step=restored["global_step"])
+        # pre-round-5 checkpoint: params only; optimizer restarts fresh
         restored = ckpt.load_params(path, {
             "params": train_state.params,
             "global_step": train_state.global_step,
-        }, self.solver.cfg.name)
+        }, name)
         return train_state._replace(params=restored["params"],
                                     global_step=restored["global_step"])

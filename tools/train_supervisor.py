@@ -31,7 +31,12 @@ import sys
 import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-TRAINER = os.path.join(HERE, "train_flagship.py")
+# SUP_TRAINER selects which trainer script to supervise (default: the
+# flagship loop; tools/train_family.py runs long family budgets the same
+# way). Relative names resolve inside tools/.
+_trainer_name = os.environ.get("SUP_TRAINER", "train_flagship.py")
+TRAINER = (_trainer_name if os.path.isabs(_trainer_name)
+           else os.path.join(HERE, _trainer_name))
 
 
 def main():
