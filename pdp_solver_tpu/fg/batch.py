@@ -86,6 +86,14 @@ class FGBatch:
     fast_var: bool = False     # var-dir windowed-kernel invariant holds
     fast_clause: bool = False  # clause-dir windowed-kernel invariant holds
     hybrid_var: bool = False   # var-dir based-kernel + residual split valid
+    # minimal verified one-hot window for var-direction windowed kernels:
+    # 512 or 1024 when every contiguous <=1024-edge run of edge_var spans
+    # <= W/2 ids (so a W-window with a W/2-aligned base always covers it),
+    # 0 = only the default 2048 window is verified (== fast_var). The
+    # windowed one-hot build + its MXU streams scale linearly with W, so a
+    # 512 window is ~4x less kernel work per edge than 2048 (the measured
+    # r4 sweep ceiling, BENCH_r04 large_batch).
+    var_window: int = 0
 
     _ARRAY_FIELDS = ("edge_var", "edge_clause", "edge_sign", "var_batch",
                      "clause_batch", "edge_mask", "var_mask", "clause_mask",
@@ -111,13 +119,14 @@ class FGBatch:
     def tree_flatten(self):
         children = tuple(getattr(self, f) for f in self._ARRAY_FIELDS)
         aux = (self.clause_width, self.fast_var, self.fast_clause,
-               self.hybrid_var)
+               self.hybrid_var, self.var_window)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, clause_width=aux[0], fast_var=aux[1],
-                   fast_clause=aux[2], hybrid_var=aux[3])
+                   fast_clause=aux[2], hybrid_var=aux[3],
+                   var_window=aux[4])
 
     # NamedTuple-compat helper used by a few call sites/tests
     def _replace(self, **kw):
@@ -184,6 +193,38 @@ def _windowed_ok(ids: np.ndarray, pairwise: bool = False) -> bool:
         mins = np.minimum(mins[:-1], mins[1:])
         maxs = np.maximum(maxs[:-1], maxs[1:])
     return bool(((maxs - mins) <= REDUCE_WINDOW - REDUCE_ALIGN).all())
+
+
+def _min_var_window(ids: np.ndarray) -> int:
+    """Smallest verified one-hot window in {512, 1024} for these ids, 0 if
+    only the default 2048 window applies.
+
+    Requirement for window W with base = floor(min/(W/2)) * (W/2): every
+    contiguous run of <= 1024 edges must span <= W/2 ids (then
+    max - base <= span + (W/2 - 1) < W). Bounded conservatively by sliding
+    3 consecutive 512-slabs (any <=1024-run touches at most 3), which
+    covers every sub-tile width the fused kernels use (384..1024),
+    including the odd-k widths that straddle slab boundaries."""
+    n = ids.shape[0]
+    if n == 0:
+        return 512
+    slab = 512
+    pad = -(-n // slab) * slab
+    padded = np.concatenate([ids, np.full(pad - n, ids[-1], ids.dtype)])
+    tiles = padded.reshape(-1, slab)
+    mins, maxs = tiles.min(axis=1), tiles.max(axis=1)
+    t = len(mins)
+    if t >= 3:
+        mins = np.minimum(np.minimum(mins[:-2], mins[1:-1]), mins[2:])
+        maxs = np.maximum(np.maximum(maxs[:-2], maxs[1:-1]), maxs[2:])
+    elif t == 2:
+        mins = np.minimum(mins[:1], mins[1:])
+        maxs = np.maximum(maxs[:1], maxs[1:])
+    span = int((maxs - mins).max())
+    for w in (512, 1024):
+        if span <= w // 2:
+            return w
+    return 0
 
 
 def _hybrid_var_meta(edge_var: np.ndarray, resid_round: int = 256):
@@ -316,6 +357,7 @@ def pack_instances(instances: Sequence[tuple],
     fast_var = _windowed_ok(edge_var, pairwise=clause_width in _ODD_K)
     fast_clause = _windowed_ok(edge_clause,
                                pairwise=clause_width in _ODD_K)
+    var_window = _min_var_window(edge_var) if fast_var else 0
 
     # hybrid var-direction metadata: when the global invariant fails
     # (modular / ragged / industrial formulas) but most edges still live in
@@ -343,7 +385,8 @@ def pack_instances(instances: Sequence[tuple],
         clause_width=clause_width,
         fast_var=fast_var,
         fast_clause=fast_clause,
-        hybrid_var=hybrid_var)
+        hybrid_var=hybrid_var,
+        var_window=var_window)
 
 
 ELL_MAX_WIDTH = 512   # above this degree fall back to segment scatters
@@ -451,6 +494,10 @@ def replicate_batch(batch: FGBatch, replication: int) -> FGBatch:
         fast_var=batch.fast_var and tile_aligned,
         fast_clause=batch.fast_clause and tile_aligned,
         hybrid_var=hybrid,
+        # per-replica spans are unchanged and (under tile_aligned, i.e. the
+        # 512/1024 sub-tilings with E % 1024 == 0) no sub-tile straddles a
+        # replica boundary, so the verified window carries over
+        var_window=(batch.var_window if tile_aligned else 0),
     )
 
 

@@ -209,4 +209,11 @@ class BatchLoader:
         misc = [inst[5] if len(inst) > 5 else () for inst in seg]
         batch = pack_instances(seg, pad_v=pv, pad_f=pf, pad_e=pe, pad_b=pb,
                                bucket=True, granularity=self._granularity)
+        if pv is not None:
+            # fixed-shape (training) segments must all share ONE compiled
+            # program; var_window is data-dependent static aux and would
+            # fork the jit cache per batch, so neutralise it (training
+            # never uses the no-VJP windowed kernels anyway)
+            import dataclasses
+            batch = dataclasses.replace(batch, var_window=0)
         return batch, misc

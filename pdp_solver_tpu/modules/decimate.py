@@ -226,7 +226,8 @@ def sequential_decimator_apply(cfg: SeqDecimatorConfig,
             and active_instances is not None):
         # combined reduce: convergence smooth-max + paramagnetic columns
         # AND the survey scorer's aggregation, one pass over the surveys
-        from pdp_solver_tpu.ops.pallas_fused import fused_edge_pass
+        from pdp_solver_tpu.ops.pallas_fused import (
+            batch_var_window, fused_edge_pass)
         nd8, _ = fused_edge_pass(
             _smax_scorer_pass, node_cols=(problem.active_clauses,),
             gather_ids=batch.edge_clause,
@@ -234,17 +235,20 @@ def sequential_decimator_apply(cfg: SeqDecimatorConfig,
             edge_cols=(seq_state.prev_eta, eta, edge_mask,
                        batch.edge_mask, fn_part[1], batch.edge_sign),
             reduce_ids=batch.edge_var, num_segments=batch.num_vars,
-            n_red=8, interpret=jax.default_backend() != "tpu")
+            n_red=8, window=batch_var_window(batch),
+            interpret=jax.default_backend() != "tpu")
         nd = nd8[:4]
         scorer_agg = nd8[4:]
     elif use_kernel:
-        from pdp_solver_tpu.ops.pallas_fused import fused_edge_pass
+        from pdp_solver_tpu.ops.pallas_fused import (
+            batch_var_window, fused_edge_pass)
         f = (_smax_pass4 if active_instances is not None else _smax_pass2)
         nd, _ = fused_edge_pass(
             f, edge_cols=(seq_state.prev_eta, eta, edge_mask,
                           batch.edge_mask),
             reduce_ids=batch.edge_var, num_segments=batch.num_vars,
             n_red=(4 if active_instances is not None else 2),
+            window=batch_var_window(batch),
             interpret=jax.default_backend() != "tpu")
     else:
         diff = jnp.abs(seq_state.prev_eta - eta) * edge_mask

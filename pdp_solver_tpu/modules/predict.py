@@ -119,14 +119,16 @@ def survey_scorer_apply(params, cfg: SurveyScorerConfig, batch: FGBatch,
 
     from pdp_solver_tpu.modules.propagate import _use_fused_pass
     if _use_fused_pass(batch):
-        from pdp_solver_tpu.ops.pallas_fused import fused_edge_pass
+        from pdp_solver_tpu.ops.pallas_fused import (
+            batch_var_window, fused_edge_pass)
         agg, _ = fused_edge_pass(
             _scorer_pass, node_cols=(problem.active_clauses,),
             gather_ids=batch.edge_clause,
             gather_uniform=batch.clause_width,
             edge_cols=(eta1, force1, batch.edge_sign, batch.edge_mask),
             reduce_ids=batch.edge_var, num_segments=batch.num_vars,
-            n_red=4, interpret=jax.default_backend() != "tpu")
+            n_red=4, window=batch_var_window(batch),
+            interpret=jax.default_backend() != "tpu")
     else:
         # messages from deactivated clauses are excluded
         # (pdp_predict.py:171-172)

@@ -408,7 +408,8 @@ def survey_propagate_folded_masks(cfg: SurveyPropagatorConfig,
     """
     assert not cfg.include_adaptors
     from pdp_solver_tpu.ops.pallas_fused import (
-        chained_edge_pass, fused_edge_pass)
+        batch_var_window, chained_edge_pass, fused_edge_pass)
+    win = batch_var_window(batch)
     v0, v1, v2 = prop_state.var
     eta_state = prop_state.fn[0]
     sign = batch.edge_sign
@@ -438,7 +439,7 @@ def survey_propagate_folded_masks(cfg: SurveyPropagatorConfig,
         num_clauses=batch.num_clauses,
         num_segments=batch.num_vars,
         n_cred=(2 if verify else 1), n_cout=0, n_bcast=2, n_vred=10,
-        n_eout=3, interpret=interp, **kw)
+        n_eout=3, window=win, interpret=interp, **kw)
     if verify:
         _, vred, (new_eta, em, ae), iout = outs
         counts = (iout[0], iout[1])
@@ -452,7 +453,7 @@ def survey_propagate_folded_masks(cfg: SurveyPropagatorConfig,
         _sp_pass_c_lean(float(cfg.pi)),
         node_cols=(pn[0], pn[1]), gather_ids=batch.edge_var,
         edge_cols=(eta_in, em, ae, sign, force, v0),
-        n_eout=1, interpret=interp)
+        n_eout=1, window=win, interpret=interp)
     # q_s/q_dc are dead in this loop (docstring); v1/v2 pass through stale
     msgs = SPMessages(var=(nv0, v1, v2), fn=(new_eta, force))
     if verify:
@@ -483,7 +484,9 @@ def survey_propagate_with_decimator_agg(cfg: SurveyPropagatorConfig,
     for these messages - pass it as precomputed_agg.
     """
     assert not cfg.include_adaptors
-    from pdp_solver_tpu.ops.pallas_fused import chained_edge_pass
+    from pdp_solver_tpu.ops.pallas_fused import (
+        batch_var_window, chained_edge_pass)
+    win = batch_var_window(batch)
     v0, v1, v2 = prop_state.var
     eta_state = prop_state.fn[0]
     mask = active_edge
@@ -504,7 +507,7 @@ def survey_propagate_with_decimator_agg(cfg: SurveyPropagatorConfig,
         num_clauses=batch.num_clauses,
         num_segments=batch.num_vars,
         n_cred=1, n_cout=0, n_bcast=2, n_vred=10, n_eout=1,
-        interpret=interp)
+        window=win, interpret=interp)
     pn = vred[0:2]
     nd = vred[2:6]
     scorer_agg = vred[6:10]
@@ -514,7 +517,7 @@ def survey_propagate_with_decimator_agg(cfg: SurveyPropagatorConfig,
         _sp_pass_c_lean(float(cfg.pi)),
         node_cols=(pn[0], pn[1]), gather_ids=batch.edge_var,
         edge_cols=(eta_in, em, mask, sign, force, v0),
-        n_eout=1, interpret=interp)
+        n_eout=1, window=win, interpret=interp)
     # q_s/q_dc are dead in this loop (docstring); v1/v2 pass through stale
     return (SPMessages(var=(nv0, v1, v2), fn=(new_eta, force)),
             (nd, scorer_agg))
@@ -558,7 +561,8 @@ def survey_propagator_apply(params, cfg: SurveyPropagatorConfig,
         from pdp_solver_tpu.ops.pallas_fused import fused_edge_pass
         interp = jax.default_backend() != "tpu"
         from pdp_solver_tpu.ops.pallas_fused import (
-            chained_edge_pass, use_chained_pass)
+            batch_var_window, chained_edge_pass, use_chained_pass)
+        win = batch_var_window(batch)
         from pdp_solver_tpu.ops.pallas_sp import sp_full_sweep, use_sp_sweep
         import os
         if (use_sp_sweep(batch)
@@ -579,7 +583,8 @@ def survey_propagator_apply(params, cfg: SurveyPropagatorConfig,
                 u_like=u_like, eta_in=eta_in, em=em, mask=mask,
                 eta_state=eta_state, sign=sign, force=force,
                 v0=v0, v1=v1, v2=v2, pi=float(cfg.pi),
-                login=bool(cfg.include_adaptors), interpret=interp)
+                login=bool(cfg.include_adaptors), window=win,
+                interpret=interp)
             return SPMessages(var=(nv0, nv1, nv2), fn=(new_eta, force))
         if use_chained_pass(batch):
             # clause sum + eta + var reduction in one launch, then pass C
@@ -593,7 +598,7 @@ def survey_propagator_apply(params, cfg: SurveyPropagatorConfig,
                 num_clauses=batch.num_clauses,
                 num_segments=batch.num_vars,
                 n_cred=1, n_cout=0, n_bcast=1, n_vred=2, n_eout=1,
-                interpret=interp)[1:]
+                window=win, interpret=interp)[1:]
         else:
             cl, (log_u,) = fused_edge_pass(
                 pass_a, edge_cols=(u_like, em),
@@ -612,7 +617,7 @@ def survey_propagator_apply(params, cfg: SurveyPropagatorConfig,
             _sp_pass_c(float(cfg.pi)),
             node_cols=(pn[0], pn[1]), gather_ids=batch.edge_var,
             edge_cols=(eta_in, em, mask, sign, force, v0, v1, v2),
-            n_eout=3, interpret=interp)
+            n_eout=3, window=win, interpret=interp)
         return SPMessages(var=(nv0, nv1, nv2), fn=(new_eta, force))
 
     # ---- XLA fallback (same math, segment ops) ------------------------

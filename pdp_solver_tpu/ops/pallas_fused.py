@@ -50,6 +50,34 @@ WINDOW = 2048
 _STATE = threading.local()
 
 
+def _win_geom(window):
+    """(W, A) one-hot window geometry. `window` in {0, 512, 1024, 2048};
+    0 = the default 2048. The window base is aligned down to A = W/2, so
+    correctness needs every sub-tile id span <= W - A = W/2 — verified at
+    pack time (FGBatch.var_window) for the var direction. The one-hot
+    build and both of its MXU streams scale linearly with W."""
+    W = int(window) or WINDOW
+    return W, W // 2
+
+
+def batch_var_window(batch) -> int:
+    """The verified var-direction window for this batch (0 = default 2048).
+
+    Pass as `window=` to fused/chained passes whose every WINDOWED side
+    (gather AND reduce ids) is the var direction (batch.edge_var). Gated on
+    the uniform clause layout: with clause_width supported, the clause
+    sides of every fast-path call ride the uniform one-hot, so the var
+    direction is the only windowed machinery left. PDP_VAR_WINDOW=off
+    disables (falls back to the 2048 window everywhere)."""
+    if os.environ.get("PDP_VAR_WINDOW", "auto") == "off":
+        return 0
+    k = getattr(batch, "clause_width", 0)
+    if not k or _pick_tiles(k) is None:
+        return 0
+    w = int(getattr(batch, "var_window", 0) or 0)
+    return w if w in (512, 1024) else 0
+
+
 @contextlib.contextmanager
 def training_mode():
     """Disable the no-VJP fused passes for the enclosed trace.
@@ -93,14 +121,14 @@ def _pick_tiles(k):
     return _TILES.get(k)
 
 
-def _gather_windowed(sub_ids, node_refs, sub):
+def _gather_windowed(sub_ids, node_refs, sub, W=WINDOW, A=ALIGN):
     """One-hot windowed gather of each node ref at SUB edge ids."""
-    base = (jnp.min(sub_ids) // ALIGN) * ALIGN
-    base = pl.multiple_of(base, ALIGN)
+    base = (jnp.min(sub_ids) // A) * A
+    base = pl.multiple_of(base, A)
     rel = sub_ids - base
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (sub, WINDOW), 1)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (sub, W), 1)
     onehot = (rel[:, None] == col_iota).astype(jnp.float32)
-    win = jnp.stack([r[pl.ds(base, WINDOW)] for r in node_refs], axis=0)
+    win = jnp.stack([r[pl.ds(base, W)] for r in node_refs], axis=0)
     # [C, W] x [W, S] on the MXU; HIGHEST keeps f32 exact (the default
     # path rounds operands to bf16)
     g = jax.lax.dot_general(
@@ -132,8 +160,9 @@ def _gather_uniform(node_refs, lo, sub, k):
 
 
 def _build(f, n_node, n_node2, n_edge, n_red, n_eout,
-           gk, g2k, rk, tile, sub):
+           gk, g2k, rk, tile, sub, window=0):
     """gk/g2k/rk: uniform clause width per side (0 = windowed ids)."""
+    W, A = _win_geom(window)
 
     def kernel(*refs):
         it = iter(refs)
@@ -159,12 +188,12 @@ def _build(f, n_node, n_node2, n_edge, n_red, n_eout,
             if n_node:
                 gathered += (_gather_uniform(node_refs, lo, sub, gk) if gk
                              else _gather_windowed(ids_g_ref[lo:lo + sub],
-                                                   node_refs, sub))
+                                                   node_refs, sub, W, A))
             if n_node2:
                 gathered += (_gather_uniform(node2_refs, lo, sub, g2k)
                              if g2k
                              else _gather_windowed(ids_g2_ref[lo:lo + sub],
-                                                   node2_refs, sub))
+                                                   node2_refs, sub, W, A))
 
             edge_vals = tuple(r[lo:lo + sub] for r in edge_refs)
             red_cols, eouts = f(gathered, edge_vals)
@@ -180,18 +209,18 @@ def _build(f, n_node, n_node2, n_edge, n_red, n_eout,
                     red_ref[:, lo // rk:(lo + sub) // rk] = sums
                 else:
                     ids_r = ids_r_ref[lo:lo + sub]
-                    base_r = (jnp.min(ids_r) // ALIGN) * ALIGN
-                    base_r = pl.multiple_of(base_r, ALIGN)
+                    base_r = (jnp.min(ids_r) // A) * A
+                    base_r = pl.multiple_of(base_r, A)
                     rel_r = ids_r - base_r
                     col_iota = jax.lax.broadcasted_iota(
-                        jnp.int32, (sub, WINDOW), 1)
+                        jnp.int32, (sub, W), 1)
                     onehot_r = (rel_r[:, None] == col_iota) \
                         .astype(jnp.float32)
                     sums = jnp.dot(x, onehot_r,
                                    preferred_element_type=jnp.float32,
                                    precision=jax.lax.Precision.HIGHEST)
-                    window = red_ref[:, pl.ds(base_r, WINDOW)]
-                    red_ref[:, pl.ds(base_r, WINDOW)] = window + sums
+                    win_r = red_ref[:, pl.ds(base_r, W)]
+                    red_ref[:, pl.ds(base_r, W)] = win_r + sums
 
             for r, v in zip(eout_refs, eouts):
                 r[lo:lo + sub] = v
@@ -202,7 +231,8 @@ def _build(f, n_node, n_node2, n_edge, n_red, n_eout,
 @functools.lru_cache(maxsize=None)
 def _make_call(f, E_pad, n_node, node_shapes, n_node2, node2_shapes,
                n_edge, n_red, num_segments, n_eout,
-               gk, g2k, rk, tile, sub, interpret):
+               gk, g2k, rk, tile, sub, window, interpret):
+    W, A = _win_geom(window)
     grid = E_pad // tile
     edge_spec = pl.BlockSpec((tile,), lambda i: (i,))
 
@@ -233,7 +263,7 @@ def _make_call(f, E_pad, n_node, node_shapes, n_node2, node2_shapes,
             out_shape.append(
                 jax.ShapeDtypeStruct((n_red, rows), jnp.float32))
         else:
-            N_pad = -(-num_segments // ALIGN) * ALIGN + WINDOW
+            N_pad = -(-num_segments // A) * A + W
             out_specs.append(pl.BlockSpec((n_red, N_pad),
                                           lambda i: (0, 0)))
             out_shape.append(
@@ -242,7 +272,7 @@ def _make_call(f, E_pad, n_node, node_shapes, n_node2, node2_shapes,
     out_shape += [jax.ShapeDtypeStruct((E_pad,), jnp.float32)] * n_eout
 
     kernel = _build(f, n_node, n_node2, n_edge, n_red, n_eout,
-                    gk, g2k, rk, tile, sub)
+                    gk, g2k, rk, tile, sub, window)
     return pl.pallas_call(kernel, grid=(grid,), in_specs=in_specs,
                           out_specs=out_specs, out_shape=out_shape,
                           interpret=interpret)
@@ -253,8 +283,9 @@ IWIN = 2048  # instance-reduce window: num_instances must fit one window
 
 def _build_chained(f1, f2, f3, n_node, n_cl, n_edge,
                    n_cred, n_cout, n_bcast, n_vred, n_eout, n_ired,
-                   k, tile, sub):
+                   k, tile, sub, window=0):
     """Kernel for chained_edge_pass: both graph directions in one launch."""
+    W, A = _win_geom(window)
 
     def kernel(*refs):
         it = iter(refs)
@@ -280,10 +311,10 @@ def _build_chained(f1, f2, f3, n_node, n_cl, n_edge,
         for s in range(tile // sub):
             lo = s * sub
             sub_ids = ids_ref[lo:lo + sub]
-            base = (jnp.min(sub_ids) // ALIGN) * ALIGN
-            base = pl.multiple_of(base, ALIGN)
+            base = (jnp.min(sub_ids) // A) * A
+            base = pl.multiple_of(base, A)
             rel = sub_ids - base
-            col_iota = jax.lax.broadcasted_iota(jnp.int32, (sub, WINDOW), 1)
+            col_iota = jax.lax.broadcasted_iota(jnp.int32, (sub, W), 1)
             # ONE [S, W] one-hot per sub-tile, used in the SAME orientation
             # by the gather (mat-vec) and the reduce (mat-mat): contracting
             # its transpose instead makes Mosaic materialise a second 4MB
@@ -291,7 +322,7 @@ def _build_chained(f1, f2, f3, n_node, n_cl, n_edge,
             onehot = (rel[:, None] == col_iota).astype(jnp.float32)
 
             gathered = tuple(
-                jnp.dot(onehot, r[pl.ds(base, WINDOW)],
+                jnp.dot(onehot, r[pl.ds(base, W)],
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST)
                 for r in node_refs)
@@ -343,8 +374,8 @@ def _build_chained(f1, f2, f3, n_node, n_cl, n_edge,
                     sums = jnp.dot(x, onehot,
                                    preferred_element_type=jnp.float32,
                                    precision=jax.lax.Precision.HIGHEST)
-                    window = vred_ref[:, pl.ds(base, WINDOW)]
-                    vred_ref[:, pl.ds(base, WINDOW)] = window + sums
+                    win_v = vred_ref[:, pl.ds(base, W)]
+                    vred_ref[:, pl.ds(base, W)] = win_v + sums
 
                 for r, v in zip(eout_refs, eouts):
                     r[lo:lo + sub] = v
@@ -356,7 +387,8 @@ def _build_chained(f1, f2, f3, n_node, n_cl, n_edge,
 def _make_chained_call(f1, f2, f3, E_pad, n_node, node_shapes,
                        n_cl, n_edge, n_cred, n_cout, n_bcast,
                        n_vred, n_eout, n_ired, num_vars, k, tile, sub,
-                       interpret):
+                       window, interpret):
+    W, A = _win_geom(window)
     grid = E_pad // tile
     edge_spec = pl.BlockSpec((tile,), lambda i: (i,))
     rows = E_pad // k
@@ -374,7 +406,7 @@ def _make_chained_call(f1, f2, f3, E_pad, n_node, node_shapes,
         out_specs.append(pl.BlockSpec((n_cout, tile // k), lambda i: (0, i)))
         out_shape.append(jax.ShapeDtypeStruct((n_cout, rows), jnp.float32))
     if n_vred:
-        N_pad = -(-num_vars // ALIGN) * ALIGN + WINDOW
+        N_pad = -(-num_vars // A) * A + W
         out_specs.append(pl.BlockSpec((n_vred, N_pad), lambda i: (0, 0)))
         out_shape.append(jax.ShapeDtypeStruct((n_vred, N_pad), jnp.float32))
     if n_ired:
@@ -385,7 +417,7 @@ def _make_chained_call(f1, f2, f3, E_pad, n_node, node_shapes,
 
     kernel = _build_chained(f1, f2, f3, n_node, n_cl, n_edge,
                             n_cred, n_cout, n_bcast, n_vred, n_eout, n_ired,
-                            k, tile, sub)
+                            k, tile, sub, window)
     return pl.pallas_call(kernel, grid=(grid,), in_specs=in_specs,
                           out_specs=out_specs, out_shape=out_shape,
                           interpret=interpret)
@@ -403,7 +435,7 @@ def chained_edge_pass(f1, f2, f3, *, node_cols, gather_ids, clause_cols=(),
                       edge_cols=(), clause_width, num_clauses,
                       num_segments, n_cred, n_cout, n_bcast, n_vred,
                       n_eout=0, n_ired=0, clause_batch=None,
-                      num_instances=0, interpret=False):
+                      num_instances=0, window=0, interpret=False):
     """Both graph directions of a clause-direction -> var-direction chain in
     ONE kernel launch (uniform clause width k only: every clause's k edges
     sit inside one sub-tile, so the clause reduce is tile-local and the
@@ -442,11 +474,12 @@ def chained_edge_pass(f1, f2, f3, *, node_cols, gather_ids, clause_cols=(),
             return x
         return jnp.concatenate([x, jnp.full((E_pad - E,), fill, x.dtype)])
 
+    Wg, Ag = _win_geom(window)
     node_shapes, padded_nodes = [], []
     for c in node_cols:
         c = c.astype(jnp.float32)
         n = c.shape[0]
-        n_pad = -(-n // ALIGN) * ALIGN + WINDOW
+        n_pad = -(-n // Ag) * Ag + Wg
         if n_pad != n:
             c = jnp.concatenate([c, jnp.zeros((n_pad - n,), jnp.float32)])
         node_shapes.append(n_pad)
@@ -481,7 +514,7 @@ def chained_edge_pass(f1, f2, f3, *, node_cols, gather_ids, clause_cols=(),
         f1, f2, f3, E_pad, len(node_cols), tuple(node_shapes),
         len(clause_cols), len(edge_cols), n_cred, n_cout, n_bcast,
         n_vred, n_eout, n_ired, int(num_segments), k, tile, sub,
-        bool(interpret))
+        int(window), bool(interpret))
     outs = call(*args)
     if not isinstance(outs, (tuple, list)):
         outs = (outs,)
@@ -512,7 +545,8 @@ def chained_edge_pass(f1, f2, f3, *, node_cols, gather_ids, clause_cols=(),
 def fused_edge_pass(f, *, node_cols=(), gather_ids=None, gather_uniform=0,
                     node_cols2=(), gather_ids2=None, gather2_uniform=0,
                     edge_cols=(), reduce_ids=None, reduce_uniform=0,
-                    num_segments=0, n_red=0, n_eout=0, interpret=False):
+                    num_segments=0, n_red=0, n_eout=0, window=0,
+                    interpret=False):
     """Run one fused gather->elementwise->reduce pass over the edge list.
 
     f(gathered, edge_vals) -> (red_cols, edge_outs): a traceable elementwise
@@ -529,6 +563,9 @@ def fused_edge_pass(f, *, node_cols=(), gather_ids=None, gather_uniform=0,
     machinery. Ignored (windowed fallback) for unsupported k.
     edge_cols: tuple of f32[E] per-edge inputs, streamed in tiles.
     reduce_ids/num_segments: reduce target.
+    window: one-hot window override (batch_var_window(batch)); pass it ONLY
+    when every windowed side's ids carry the verified var_window invariant
+    (all windowed sides = batch.edge_var). 0 = default 2048.
 
     Returns (reduced [n_red, num_segments] or None, tuple of n_eout f32[E]).
     """
@@ -556,6 +593,8 @@ def fused_edge_pass(f, *, node_cols=(), gather_ids=None, gather_uniform=0,
         return jnp.concatenate(
             [x, jnp.full((E_pad - E,), fill, x.dtype)])
 
+    Wg, Ag = _win_geom(window)
+
     def prep_nodes(cols, uk_side):
         shapes, padded = [], []
         for c in cols:
@@ -571,7 +610,7 @@ def fused_edge_pass(f, *, node_cols=(), gather_ids=None, gather_uniform=0,
                 c = c[None, :]                  # [1, rows] 2-D blocked
                 shapes.append(rows)
             else:
-                n_pad = -(-n // ALIGN) * ALIGN + WINDOW
+                n_pad = -(-n // Ag) * Ag + Wg
                 if n_pad != n:
                     c = jnp.concatenate(
                         [c, jnp.zeros((n_pad - n,), jnp.float32)])
@@ -598,7 +637,7 @@ def fused_edge_pass(f, *, node_cols=(), gather_ids=None, gather_uniform=0,
     call = _make_call(f, E_pad, len(node_cols), node_shapes,
                       len(node_cols2), node2_shapes,
                       len(edge_cols), n_red, int(num_segments), n_eout,
-                      gk, g2k, rk, tile, sub, bool(interpret))
+                      gk, g2k, rk, tile, sub, int(window), bool(interpret))
     outs = call(*args)
     if not isinstance(outs, (tuple, list)):
         outs = (outs,)

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from pdp_solver_tpu.ops.pallas_fused import (
-    ALIGN, WINDOW, _pick_tiles, _uniform_onehot)
+    ALIGN, WINDOW, _pick_tiles, _uniform_onehot, _win_geom)
 from pdp_solver_tpu.ops.segment import LOG_EPS_PROP, MAX_LOGIT
 
 
@@ -48,7 +48,8 @@ def _sexp(x):
     return jnp.exp(jnp.minimum(x, MAX_LOGIT))
 
 
-def _build_sp_sweep(T, k, tile, sub, NP, pi, login):
+def _build_sp_sweep(T, k, tile, sub, NP, pi, login, window=0):
+    W, A = _win_geom(window)
     def kernel(ids_ref, u_ref, ei_ref, em_ref, mask_ref, es_ref, sg_ref,
                fo_ref, v0_ref, v1_ref, v2_ref,
                eta_out, nv0_out, nv1_out, nv2_out, vred_ref):
@@ -62,10 +63,10 @@ def _build_sp_sweep(T, k, tile, sub, NP, pi, login):
         for s in range(tile // sub):
             lo = s * sub
             sub_ids = ids_ref[lo:lo + sub]
-            base = (jnp.min(sub_ids) // ALIGN) * ALIGN
-            base = pl.multiple_of(base, ALIGN)
+            base = (jnp.min(sub_ids) // A) * A
+            base = pl.multiple_of(base, A)
             rel = sub_ids - base
-            col_iota = jax.lax.broadcasted_iota(jnp.int32, (sub, WINDOW), 1)
+            col_iota = jax.lax.broadcasted_iota(jnp.int32, (sub, W), 1)
             onehot = (rel[:, None] == col_iota).astype(jnp.float32)
 
             ei = ei_ref[lo:lo + sub]
@@ -84,8 +85,8 @@ def _build_sp_sweep(T, k, tile, sub, NP, pi, login):
                 sums = jnp.dot(x, onehot,
                                preferred_element_type=jnp.float32,
                                precision=jax.lax.Precision.HIGHEST)
-                window = vred_ref[:, pl.ds(base, WINDOW)]
-                vred_ref[:, pl.ds(base, WINDOW)] = window + sums
+                win_v = vred_ref[:, pl.ds(base, W)]
+                vred_ref[:, pl.ds(base, W)] = win_v + sums
 
             @pl.when(p == 1)
             def _():
@@ -93,10 +94,10 @@ def _build_sp_sweep(T, k, tile, sub, NP, pi, login):
                 # plain mat-vecs in the SAME orientation as the reduce (a
                 # (S, 2) result would put the pathological minor-dim-2
                 # layout on the VPU and a transpose in the loop)
-                pos_e = jnp.dot(onehot, vred_ref[0, pl.ds(base, WINDOW)],
+                pos_e = jnp.dot(onehot, vred_ref[0, pl.ds(base, W)],
                                 preferred_element_type=jnp.float32,
                                 precision=jax.lax.Precision.HIGHEST)
-                neg_e = jnp.dot(onehot, vred_ref[1, pl.ds(base, WINDOW)],
+                neg_e = jnp.dot(onehot, vred_ref[1, pl.ds(base, W)],
                                 preferred_element_type=jnp.float32,
                                 precision=jax.lax.Precision.HIGHEST)
 
@@ -140,14 +141,14 @@ def _build_sp_sweep(T, k, tile, sub, NP, pi, login):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_sp_call(E_pad, NP, k, tile, sub, pi, login, interpret):
+def _make_sp_call(E_pad, NP, k, tile, sub, pi, login, window, interpret):
     from jax.experimental.pallas import tpu as pltpu
     T = E_pad // tile
     edge_spec = pl.BlockSpec((tile,), lambda p, t: (t,))
     in_specs = [edge_spec] * 11
     out_specs = [edge_spec] * 4
     out_shape = [jax.ShapeDtypeStruct((E_pad,), jnp.float32)] * 4
-    kernel = _build_sp_sweep(T, k, tile, sub, NP, pi, login)
+    kernel = _build_sp_sweep(T, k, tile, sub, NP, pi, login, window)
     return pl.pallas_call(
         kernel, grid=(2, T), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape,
@@ -164,7 +165,8 @@ def use_sp_sweep(batch) -> bool:
 
 def sp_full_sweep(*, gather_ids, clause_width, num_vars,
                   u_like, eta_in, em, mask, eta_state, sign, force,
-                  v0, v1, v2, pi=0.0, login=False, interpret=False):
+                  v0, v1, v2, pi=0.0, login=False, window=0,
+                  interpret=False):
     """One complete SP sweep in a single kernel launch.
 
     Returns (new_eta, nv0, nv1, nv2) as f32[E] edge columns; numerically
@@ -173,7 +175,8 @@ def sp_full_sweep(*, gather_ids, clause_width, num_vars,
     tile, sub = _pick_tiles(k)
     E = gather_ids.shape[0]
     E_pad = -(-E // tile) * tile
-    NP = -(-num_vars // ALIGN) * ALIGN + WINDOW
+    W_g, A_g = _win_geom(window)
+    NP = -(-num_vars // A_g) * A_g + W_g
 
     def pad_e(x, fill):
         x = x.astype(jnp.float32)
@@ -187,7 +190,7 @@ def sp_full_sweep(*, gather_ids, clause_width, num_vars,
             [ids, jnp.full((E_pad - E,), gather_ids[-1], jnp.int32)])
 
     call = _make_sp_call(E_pad, NP, k, tile, sub, float(pi), bool(login),
-                        bool(interpret))
+                         int(window), bool(interpret))
     new_eta, nv0, nv1, nv2 = call(
         ids, pad_e(u_like, 0), pad_e(eta_in, 0), pad_e(em, 0),
         pad_e(mask, 0), pad_e(eta_state, 0), pad_e(sign, 0),

@@ -29,7 +29,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pdp_solver_tpu.ops.pallas_fused import (
-    ALIGN, IWIN, WINDOW, _pick_tiles, _uniform_onehot)
+    ALIGN, IWIN, WINDOW, _pick_tiles, _uniform_onehot, _win_geom,
+    batch_var_window)
 
 SELW = 2048          # selection window over variables
 B_MAX = 512          # instance cap: [B_pad, SELW] temporaries stay <= 4MB
@@ -47,8 +48,9 @@ def _hash01(x, salt):
     return (h & jnp.int32(0x7FFFFF)).astype(jnp.float32) * (1.0 / (1 << 23))
 
 
-def _build_walksat(K, T, k, tile, sub, NP, B_pad, eps):
+def _build_walksat(K, T, k, tile, sub, NP, B_pad, eps, window=0):
     n_w = NP // SELW
+    W, A = _win_geom(window)
 
     def kernel(seed_ref, ids_ref, w_ref, dm_ref, em_ref,
                ac_ref, cb_ref, assign0_ref, av_ref, vmask_ref, vb_ref,
@@ -75,10 +77,10 @@ def _build_walksat(K, T, k, tile, sub, NP, B_pad, eps):
         for s in range(tile // sub):
             lo = s * sub
             sub_ids = ids_ref[lo:lo + sub]
-            base = (jnp.min(sub_ids) // ALIGN) * ALIGN
-            base = pl.multiple_of(base, ALIGN)
+            base = (jnp.min(sub_ids) // A) * A
+            base = pl.multiple_of(base, A)
             rel = sub_ids - base
-            col_iota = jax.lax.broadcasted_iota(jnp.int32, (sub, WINDOW), 1)
+            col_iota = jax.lax.broadcasted_iota(jnp.int32, (sub, W), 1)
             onehot = (rel[:, None] == col_iota).astype(jnp.bfloat16)
 
             # mat-vec per node ref, SAME one-hot orientation as the reduce
@@ -92,7 +94,7 @@ def _build_walksat(K, T, k, tile, sub, NP, B_pad, eps):
             # still f32 (minor-dim insertion is 32-bit-only), then cast
             asg_g = jnp.dot(
                 onehot,
-                assign_ref[pl.ds(base, WINDOW)][:, None].astype(jnp.bfloat16),
+                assign_ref[pl.ds(base, W)][:, None].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32)[:, 0]
 
             em = em_ref[lo:lo + sub]
@@ -129,8 +131,8 @@ def _build_walksat(K, T, k, tile, sub, NP, B_pad, eps):
             x = jnp.stack([critical * dist, bc[2] * deg], axis=0)
             sums = jnp.dot(x.astype(jnp.bfloat16), onehot,
                            preferred_element_type=jnp.float32)
-            window = vred_ref[:, pl.ds(base, WINDOW)]
-            vred_ref[:, pl.ds(base, WINDOW)] = window + sums
+            win_v = vred_ref[:, pl.ds(base, W)]
+            vred_ref[:, pl.ds(base, W)] = win_v + sums
 
         # ---- selection + flip phase (all reductions final) -------------
         @pl.when(t == T - 1)
@@ -230,7 +232,8 @@ def _build_walksat(K, T, k, tile, sub, NP, B_pad, eps):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_walksat_call(K, E_pad, NP, B_pad, k, tile, sub, eps, interpret):
+def _make_walksat_call(K, E_pad, NP, B_pad, k, tile, sub, eps, window,
+                       interpret):
     T = E_pad // tile
     edge_spec = pl.BlockSpec((tile,), lambda kk, t: (t,))
     clause_spec = pl.BlockSpec((1, tile // k), lambda kk, t: (0, t))
@@ -246,7 +249,7 @@ def _make_walksat_call(K, E_pad, NP, B_pad, k, tile, sub, eps, interpret):
     out_shape = [jax.ShapeDtypeStruct((NP,), jnp.float32),
                  jax.ShapeDtypeStruct((1, IWIN), jnp.float32)]
 
-    kernel = _build_walksat(K, T, k, tile, sub, NP, B_pad, eps)
+    kernel = _build_walksat(K, T, k, tile, sub, NP, B_pad, eps, window)
     return pl.pallas_call(
         kernel, grid=(K, T), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape,
@@ -292,7 +295,9 @@ def walksat_block(assign, *, batch, active_vars, active_clauses, em,
     V = batch.num_vars
     B = batch.batch_size
     B_pad = max(128, -(-B // 128) * 128)
-    NP = (-(-(V + WINDOW) // SELW)) * SELW
+    win = batch_var_window(batch)
+    W_g = win or WINDOW
+    NP = (-(-(V + W_g) // SELW)) * SELW
 
     def pad_e(x, fill):
         if E_pad == E:
@@ -331,6 +336,6 @@ def walksat_block(assign, *, batch, active_vars, active_clauses, em,
         pad_n(batch.var_batch, B_pad),   # pad segment never matches
     ]
     call = _make_walksat_call(int(K), E_pad, NP, B_pad, k, tile, sub,
-                              float(eps), bool(interpret))
+                              float(eps), int(win), bool(interpret))
     new_assign, energy = call(*args)
     return new_assign[:V], energy[0, :B]

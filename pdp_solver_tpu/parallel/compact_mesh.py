@@ -146,6 +146,9 @@ def _align_batches(batches):
     same_cw = all(b.clause_width == cw0 for b in batches)
     fv = all(b.fast_var for b in batches)
     fc = same_cw and all(b.fast_clause for b in batches)
+    # meet the verified windows: weakest wins (0 = only 2048 verified)
+    vw = 0 if any(b.var_window == 0 for b in batches) else max(
+        b.var_window for b in batches)
 
     def pad(tbl, width):
         tbl = np.asarray(tbl)
@@ -157,7 +160,7 @@ def _align_batches(batches):
     return [dc.replace(b, var_edges=pad(b.var_edges, dv),
                        clause_edges=pad(b.clause_edges, dc_),
                        clause_width=cw0 if same_cw else 0,
-                       fast_var=fv, fast_clause=fc)
+                       fast_var=fv, fast_clause=fc, var_window=vw)
             for b in batches]
 
 

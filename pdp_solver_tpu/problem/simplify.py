@@ -262,7 +262,8 @@ def _fused_round(batch: FGBatch, state: ProblemState):
 
     from pdp_solver_tpu.ops.pallas_fused import use_chained_pass
     if use_kernel and use_chained_pass(batch):
-        from pdp_solver_tpu.ops.pallas_fused import chained_edge_pass
+        from pdp_solver_tpu.ops.pallas_fused import (
+            batch_var_window, chained_edge_pass)
         cout, vd, _ = chained_edge_pass(
             _sround_f1, _sround_f2, _sround_f3,
             node_cols=(state.active_vars, state.solution),
@@ -273,6 +274,7 @@ def _fused_round(batch: FGBatch, state: ProblemState):
             num_clauses=batch.num_clauses,
             num_segments=batch.num_vars,
             n_cred=2, n_cout=1, n_bcast=2, n_vred=4,
+            window=batch_var_window(batch),
             interpret=jax.default_backend() != "tpu")
         active_clauses = cout[0]
         removed_any = jnp.sum(state.active_clauses - active_clauses)
@@ -282,7 +284,8 @@ def _fused_round(batch: FGBatch, state: ProblemState):
 
     # ---- phase C: edges -> clauses ------------------------------------
     if use_kernel:
-        from pdp_solver_tpu.ops.pallas_fused import fused_edge_pass
+        from pdp_solver_tpu.ops.pallas_fused import (
+            batch_var_window, fused_edge_pass)
         cd, _ = fused_edge_pass(
             _phase_c_f,
             node_cols=(state.active_vars, state.solution),
@@ -291,6 +294,7 @@ def _fused_round(batch: FGBatch, state: ProblemState):
             reduce_ids=batch.edge_clause,
             reduce_uniform=batch.clause_width,
             num_segments=batch.num_clauses, n_red=2,
+            window=batch_var_window(batch),
             interpret=jax.default_backend() != "tpu")
     else:
         av_e = state.active_vars[batch.edge_var]
@@ -309,7 +313,8 @@ def _fused_round(batch: FGBatch, state: ProblemState):
 
     # ---- phase V: edges -> vars ---------------------------------------
     if use_kernel:
-        from pdp_solver_tpu.ops.pallas_fused import fused_edge_pass
+        from pdp_solver_tpu.ops.pallas_fused import (
+            batch_var_window, fused_edge_pass)
         vd, _ = fused_edge_pass(
             _phase_v_f,
             node_cols=(single_f, active_clauses),
@@ -318,6 +323,7 @@ def _fused_round(batch: FGBatch, state: ProblemState):
             edge_cols=(batch.edge_sign, batch.edge_mask),
             reduce_ids=batch.edge_var,
             num_segments=batch.num_vars, n_red=4,
+            window=batch_var_window(batch),
             interpret=jax.default_backend() != "tpu")
     else:
         s_e = single_f[batch.edge_clause] * batch.edge_mask

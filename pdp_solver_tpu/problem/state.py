@@ -66,7 +66,8 @@ def compute_edge_mask(batch: FGBatch, state: ProblemState) -> jnp.ndarray:
     dual-gather kernel does both windowed from VMEM in one dispatch."""
     if _use_fused(batch):
         import jax
-        from pdp_solver_tpu.ops.pallas_fused import fused_edge_pass
+        from pdp_solver_tpu.ops.pallas_fused import (
+            batch_var_window, fused_edge_pass)
         _, (em,) = fused_edge_pass(
             _em_pass,
             node_cols=(state.active_vars,), gather_ids=batch.edge_var,
@@ -74,6 +75,7 @@ def compute_edge_mask(batch: FGBatch, state: ProblemState) -> jnp.ndarray:
             gather_ids2=batch.edge_clause,
             gather2_uniform=batch.clause_width,
             edge_cols=(batch.edge_mask,), n_eout=1,
+            window=batch_var_window(batch),
             interpret=jax.default_backend() != "tpu")
         return em
     return (state.active_vars[batch.edge_var]
@@ -90,11 +92,13 @@ def edge_active_instance_mask(batch: FGBatch, active_instances) -> jnp.ndarray:
     """
     if _use_fused(batch):
         import jax
-        from pdp_solver_tpu.ops.pallas_fused import fused_edge_pass
+        from pdp_solver_tpu.ops.pallas_fused import (
+            batch_var_window, fused_edge_pass)
         _, (ae,) = fused_edge_pass(
             _ae_pass,
             node_cols=(active_instances[batch.var_batch],),
             gather_ids=batch.edge_var, n_eout=1,
+            window=batch_var_window(batch),
             interpret=jax.default_backend() != "tpu")
         return ae
     return active_instances[batch.var_batch[batch.edge_var]]
@@ -106,7 +110,8 @@ def edge_masks_pair(batch: FGBatch, state: ProblemState, active_instances):
     fast path (three node->edge gathers cost ~15ms at E=524k as XLA ops)."""
     if _use_fused(batch):
         import jax
-        from pdp_solver_tpu.ops.pallas_fused import fused_edge_pass
+        from pdp_solver_tpu.ops.pallas_fused import (
+            batch_var_window, fused_edge_pass)
         _, (em, ae) = fused_edge_pass(
             _em_ae_pass,
             node_cols=(state.active_vars,
@@ -116,6 +121,7 @@ def edge_masks_pair(batch: FGBatch, state: ProblemState, active_instances):
             gather_ids2=batch.edge_clause,
             gather2_uniform=batch.clause_width,
             edge_cols=(batch.edge_mask,), n_eout=2,
+            window=batch_var_window(batch),
             interpret=jax.default_backend() != "tpu")
         return em, ae
     return (compute_edge_mask(batch, state),

@@ -695,7 +695,8 @@ class PDPSolver:
             # path BOTH graph directions run in one chained kernel launch
             if use_chained:
                 from pdp_solver_tpu.ops.pallas_fused import (
-                    IWIN, chained_edge_pass)
+                    IWIN, batch_var_window, chained_edge_pass)
+                ls_win = batch_var_window(batch)
                 if B <= IWIN:
                     # energy's F->B reduce rides the same launch
                     _, vd, _, iout = chained_edge_pass(
@@ -710,7 +711,7 @@ class PDPSolver:
                         num_segments=batch.num_vars,
                         n_cred=2, n_cout=0, n_bcast=3, n_vred=2,
                         n_ired=1, clause_batch=batch.clause_batch,
-                        num_instances=B,
+                        num_instances=B, window=ls_win,
                         interpret=jax.default_backend() != "tpu")
                     unsat_f = None
                     energy_b = iout[0]
@@ -726,6 +727,7 @@ class PDPSolver:
                         num_clauses=batch.num_clauses,
                         num_segments=batch.num_vars,
                         n_cred=2, n_cout=1, n_bcast=3, n_vred=2,
+                        window=ls_win,
                         interpret=jax.default_backend() != "tpu")
                     unsat_f = cout[0]
             else:

@@ -89,7 +89,9 @@ def cnf_evaluate(batch: FGBatch, variable_prediction):
     if _use_fused(batch):
         import jax
         from pdp_solver_tpu.ops.pallas_fused import (
-            IWIN, chained_edge_pass, fused_edge_pass, use_chained_pass)
+            IWIN, batch_var_window, chained_edge_pass, fused_edge_pass,
+            use_chained_pass)
+        win = batch_var_window(batch)
         if use_chained_pass(batch) and B <= IWIN:
             # whole verification (edge pass + clause reduce + instance
             # reduces) in ONE launch
@@ -103,7 +105,7 @@ def cnf_evaluate(batch: FGBatch, variable_prediction):
                 num_clauses=F, num_segments=batch.num_vars,
                 n_cred=1, n_cout=0, n_bcast=0, n_vred=0, n_eout=0,
                 n_ired=2, clause_batch=batch.clause_batch,
-                num_instances=B,
+                num_instances=B, window=win,
                 interpret=jax.default_backend() != "tpu")
             max_sat, got_sat = iout[0], iout[1]
             solved = (max_sat == got_sat).astype(jnp.float32)
@@ -114,7 +116,7 @@ def cnf_evaluate(batch: FGBatch, variable_prediction):
             edge_cols=(batch.edge_sign, batch.edge_mask),
             reduce_ids=batch.edge_clause,
             reduce_uniform=batch.clause_width, num_segments=F, n_red=1,
-            interpret=jax.default_backend() != "tpu")
+            window=win, interpret=jax.default_backend() != "tpu")
         clause_sat = (cs[0] > 0).astype(jnp.float32)
     else:
         ev = (literal_values(batch, variable_prediction)
