@@ -122,13 +122,18 @@ def _pick_tiles(k):
 
 
 def _gather_windowed(sub_ids, node_refs, sub, W=WINDOW, A=ALIGN):
-    """One-hot windowed gather of each node ref at SUB edge ids."""
+    """One-hot windowed gather of each node ref at SUB edge ids.
+
+    Node refs are [1, N] 2-D: the dynamic window slice rides the minor
+    (lane) dimension, where Mosaic only needs a 128-multiple base — a 1-D
+    ref's dimension-0 slice must prove a full 1024 (8x128) tile multiple,
+    which the sub-2048 windows' W/2-aligned bases cannot."""
     base = (jnp.min(sub_ids) // A) * A
     base = pl.multiple_of(base, A)
     rel = sub_ids - base
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (sub, W), 1)
     onehot = (rel[:, None] == col_iota).astype(jnp.float32)
-    win = jnp.stack([r[pl.ds(base, W)] for r in node_refs], axis=0)
+    win = jnp.stack([r[0, pl.ds(base, W)] for r in node_refs], axis=0)
     # [C, W] x [W, S] on the MXU; HIGHEST keeps f32 exact (the default
     # path rounds operands to bf16)
     g = jax.lax.dot_general(
@@ -241,7 +246,9 @@ def _make_call(f, E_pad, n_node, node_shapes, n_node2, node2_shapes,
             # [1, E_pad/k] rows blocked [1, tile/k] per grid step
             return [pl.BlockSpec((1, tile // uk), lambda i: (0, i))
                     for _ in shapes]
-        return [pl.BlockSpec((s,), lambda i: (0,)) for s in shapes]
+        # [1, N] 2-D so window slices ride the lane dimension (see
+        # _gather_windowed)
+        return [pl.BlockSpec((1, s), lambda i: (0, 0)) for s in shapes]
 
     in_specs = []
     if n_node and not gk:
@@ -322,10 +329,10 @@ def _build_chained(f1, f2, f3, n_node, n_cl, n_edge,
             onehot = (rel[:, None] == col_iota).astype(jnp.float32)
 
             gathered = tuple(
-                jnp.dot(onehot, r[pl.ds(base, W)],
+                jnp.dot(onehot, r[0, pl.ds(base, W)],
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST)
-                for r in node_refs)
+                for r in node_refs)   # node refs are [1, N] (lane windows)
             edge_vals = tuple(r[lo:lo + sub] for r in edge_refs)
 
             # edges -> clauses, tile-local (uniform k)
@@ -395,7 +402,8 @@ def _make_chained_call(f1, f2, f3, E_pad, n_node, node_shapes,
     clause_spec = pl.BlockSpec((1, tile // k), lambda i: (0, i))
 
     in_specs = [edge_spec]
-    in_specs += [pl.BlockSpec((s,), lambda i: (0,)) for s in node_shapes]
+    in_specs += [pl.BlockSpec((1, s), lambda i: (0, 0))
+                 for s in node_shapes]
     in_specs += [clause_spec for _ in range(n_cl)]
     if n_ired:
         in_specs.append(clause_spec)
@@ -483,7 +491,7 @@ def chained_edge_pass(f1, f2, f3, *, node_cols, gather_ids, clause_cols=(),
         if n_pad != n:
             c = jnp.concatenate([c, jnp.zeros((n_pad - n,), jnp.float32)])
         node_shapes.append(n_pad)
-        padded_nodes.append(c)
+        padded_nodes.append(c[None, :])         # [1, N] lane-dim windows
 
     rows = E_pad // k
     padded_clauses = []
@@ -614,6 +622,7 @@ def fused_edge_pass(f, *, node_cols=(), gather_ids=None, gather_uniform=0,
                 if n_pad != n:
                     c = jnp.concatenate(
                         [c, jnp.zeros((n_pad - n,), jnp.float32)])
+                c = c[None, :]                  # [1, N] lane-dim windows
                 shapes.append(n_pad)
             padded.append(c)
         return tuple(shapes), padded

@@ -92,9 +92,12 @@ def _build_walksat(K, T, k, tile, sub, NP, B_pad, eps, window=0):
             # 2-D rhs: Mosaic's bf16 matmul path rejects a rank-1 rhs
             # ("rhs must be vector-like [B, K]"); insert the minor dim while
             # still f32 (minor-dim insertion is 32-bit-only), then cast
+            # assign is [1, NP]: the dynamic window slice must ride the
+            # lane dimension (Mosaic proves 128-multiples there; a 1-D
+            # dim-0 slice would demand a full 1024-tile multiple)
             asg_g = jnp.dot(
                 onehot,
-                assign_ref[pl.ds(base, W)][:, None].astype(jnp.bfloat16),
+                assign_ref[0, pl.ds(base, W)][:, None].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32)[:, 0]
 
             em = em_ref[lo:lo + sub]
@@ -223,7 +226,7 @@ def _build_walksat(K, T, k, tile, sub, NP, B_pad, eps, window=0):
                 flip = jnp.logical_and(
                     gidx.astype(jnp.float32) == per_var[:, 0],
                     per_var[:, 1] > 0).astype(jnp.float32)
-                assign_ref[sl] = assign_ref[sl] * (1.0 - 2.0 * flip)
+                assign_ref[0, sl] = assign_ref[0, sl] * (1.0 - 2.0 * flip)
                 return carry
 
             jax.lax.fori_loop(0, n_w, pass3, jnp.int32(0))
@@ -239,14 +242,16 @@ def _make_walksat_call(K, E_pad, NP, B_pad, k, tile, sub, eps, window,
     clause_spec = pl.BlockSpec((1, tile // k), lambda kk, t: (0, t))
     node_spec = pl.BlockSpec((NP,), lambda kk, t: (0,))
 
+    node2_spec = pl.BlockSpec((1, NP), lambda kk, t: (0, 0))
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]          # seed
     in_specs += [edge_spec] * 4                                 # ids/sgn/m/em
     in_specs += [clause_spec] * 2                               # ac, cb
-    in_specs += [node_spec] * 4                                 # a0/av/vm/vb
+    in_specs += [node2_spec]                                    # a0 [1, NP]
+    in_specs += [node_spec] * 3                                 # av/vm/vb
 
-    out_specs = [node_spec,
+    out_specs = [node2_spec,
                  pl.BlockSpec((1, IWIN), lambda kk, t: (0, 0))]
-    out_shape = [jax.ShapeDtypeStruct((NP,), jnp.float32),
+    out_shape = [jax.ShapeDtypeStruct((1, NP), jnp.float32),
                  jax.ShapeDtypeStruct((1, IWIN), jnp.float32)]
 
     kernel = _build_walksat(K, T, k, tile, sub, NP, B_pad, eps, window)
@@ -330,7 +335,7 @@ def walksat_block(assign, *, batch, active_vars, active_clauses, em,
         pad_e(em.astype(jnp.float32), 0),
         pad_c(active_clauses, 0),
         pad_c(batch.clause_batch, 0),
-        pad_n(assign, 0),
+        pad_n(assign, 0)[None, :],
         pad_n(active_vars, 0),
         pad_n(batch.var_mask, 0),
         pad_n(batch.var_batch, B_pad),   # pad segment never matches
@@ -338,4 +343,4 @@ def walksat_block(assign, *, batch, active_vars, active_clauses, em,
     call = _make_walksat_call(int(K), E_pad, NP, B_pad, k, tile, sub,
                               float(eps), int(win), bool(interpret))
     new_assign, energy = call(*args)
-    return new_assign[:V], energy[0, :B]
+    return new_assign[0, :V], energy[0, :B]

@@ -58,6 +58,10 @@ class SatTrainer:
         self._step_cache = {}
         # reference trainer.py:45 _counter (per-formatted-prediction count)
         self._prediction_counter = 0
+        # multi-device telemetry: sharded solve groups / train steps run
+        # (asserted by the 8-CPU-mesh tests)
+        self._parallel_groups = 0
+        self._parallel_steps = 0
 
     # ---------------------------------------------------------------- utils
 
@@ -87,7 +91,10 @@ class SatTrainer:
 
     # ---------------------------------------------------------------- train
 
-    def _train_step_fn(self):
+    def _loss_fn(self):
+        """The T-step lambda-discounted BPTT energy loss (reference
+        base.py:162-173), shared by the single-device and data-parallel
+        train steps."""
         c = self._config
         solver = self.solver
         t_outer = int(c.get("train_outer_recurrence_num", 1))
@@ -102,7 +109,6 @@ class SatTrainer:
         # with per-step checkpoints memory is O(E*h) instead of O(T*E*h)
         # at the cost of one extra forward
         remat = bool(c.get("train_remat", True))
-        optimizer = self._optimizer
 
         def loss_fn(params, rng, batch, global_step):
             r_state, rng = jax.random.split(rng)
@@ -123,6 +129,12 @@ class SatTrainer:
                                         alpha, kappa)
                 loss = loss + step_loss * (lam ** (t_outer - t - 1))
             return loss
+
+        return loss_fn
+
+    def _train_step_fn(self):
+        optimizer = self._optimizer
+        loss_fn = self._loss_fn()
 
         @jax.jit
         def train_step(train_state: TrainState, rng, batch: FGBatch):
@@ -156,6 +168,61 @@ class SatTrainer:
         # into the same program (one dispatch per step)
         return jax.jit(train_step)
 
+    # ------------------------------------------------------- multi-device
+
+    def _data_parallel_devices(self):
+        """Automatic data parallelism (the reference's nn.DataParallel
+        wrap, src/pdp/factorgraph/base.py:93-97): number of devices to
+        shard the instance stream over. config['data_parallel'] overrides
+        (0/1 disables); default = every visible device."""
+        n = int(self._config.get("data_parallel", jax.device_count()))
+        return max(min(n, jax.device_count()), 1)
+
+    def _train_step_parallel_fn(self, n_dev, base_seed=0):
+        """Data-parallel seeded train step over a 1-D mesh: each device
+        differentiates its own stacked segment (leading [n_dev] axis),
+        grads/losses are pmean'd over ICI so the TrainState update is
+        identical on every device; per-device PRNG streams are folded
+        in-program from (base_seed, step, device)."""
+        import optax as _optax
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from pdp_solver_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_dev)
+        optimizer = self._optimizer
+        loss_fn = self._loss_fn()
+
+        def device_step(params, opt_state, global_step, step, batch):
+            batch = jax.tree_util.tree_map(lambda x: x[0], batch)
+            didx = jax.lax.axis_index("dp")
+            rng = jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(base_seed),
+                                   step.astype(jnp.uint32)),
+                didx.astype(jnp.uint32))
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, rng, batch, global_step)
+            grads = jax.lax.pmean(grads, "dp")
+            loss = jax.lax.pmean(loss, "dp")
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = _optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        sharded = shard_map(
+            device_step, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P("dp")),
+            out_specs=(P(), P(), P()), check_vma=False)
+
+        @jax.jit
+        def train_step(train_state: TrainState, step, batches):
+            params, opt_state, loss = sharded(
+                train_state.params, train_state.opt_state,
+                train_state.global_step, step, batches)
+            return TrainState(params, opt_state,
+                              train_state.global_step), loss
+
+        return train_step
+
     def train(self, train_files, validation_files, last_export_path=None,
               best_export_path=None, metric_index=0, load_model=None,
               reset_step=False, generator=None, train_epoch_size=0):
@@ -186,6 +253,7 @@ class SatTrainer:
             limit=c.get("train_batch_limit", 4000000),
             hidden_dim=c.get("hidden_dim", 3), shuffle=True,
             fixed_shape=generator is not None,
+            fixed_dims=c.get("fixed_dims"),
             max_cache_size=c.get("max_cache_size", 100000))
         val_loader = BatchLoader(
             input_file=validation_files[0],
@@ -199,6 +267,14 @@ class SatTrainer:
         # backends), and batches are device_put explicitly (implicit H2D
         # inside dispatch stalls the tunnel)
         train_step = self._train_step_seeded_fn(base_seed=self._seed)
+        # automatic data parallelism over the visible devices: generator
+        # segments share one fixed shape, so groups of n_dev stack into a
+        # leading device axis and run the pmean'd parallel step
+        n_dev = (self._data_parallel_devices()
+                 if generator is not None else 1)
+        par_step = (self._train_step_parallel_fn(n_dev,
+                                                 base_seed=self._seed)
+                    if n_dev > 1 else None)
         step_idx = 0
         epoch_num = int(c.get("epoch_num", 1))
         rep_num = int(c.get("repetition_num", 1))
@@ -217,21 +293,13 @@ class SatTrainer:
                 n_batches = 0
                 total_examples = 0
                 n_total_batches = len(train_loader)
-                for batch, _, macro_done in train_loader.iter_segments():
-                    train_state, loss = train_step(
-                        train_state, np.int32(step_idx & 0x7FFFFFFF),
-                        jax.device_put(batch))
-                    step_idx += 1
-                    step_losses.append(loss)
-                    # fold periodically into one device scalar: still no
-                    # host sync, but bounded live buffers on long epochs
-                    # (tens of thousands of segments otherwise keep one
-                    # device scalar alive each)
-                    if len(step_losses) >= 256:
-                        step_losses = [jnp.sum(jnp.stack(step_losses))]
+                pending = []
+
+                def account(b):
+                    nonlocal n_batches, total_examples
                     n_batches += 1
                     total_examples += int(np.asarray(
-                        batch.instance_mask).sum())
+                        b.instance_mask).sum())
                     if c.get("verbose"):
                         print("Training epoch, batch %4d (%6d examples):"
                               " %3d%% complete..." % (
@@ -239,6 +307,57 @@ class SatTrainer:
                                   int(min(n_batches, n_total_batches) * 100
                                       / max(n_total_batches, 1))),
                               end="\r")
+
+                def fold_losses():
+                    # fold periodically into one device scalar: still no
+                    # host sync, but bounded live buffers on long epochs
+                    # (tens of thousands of segments otherwise keep one
+                    # device scalar alive each)
+                    nonlocal step_losses
+                    if len(step_losses) >= 256:
+                        step_losses = [jnp.sum(jnp.stack(step_losses))]
+
+                def drain(force_all):
+                    """Run buffered segments: full groups of n_dev stack
+                    into the data-parallel step (one pmean'd update);
+                    with force_all (a macro-batch boundary) the remainder
+                    runs as single steps, so global_step advances at the
+                    exact reference point (base.py:144-145)."""
+                    nonlocal train_state, step_idx
+                    from pdp_solver_tpu.parallel.mesh import stack_batches
+                    while len(pending) >= n_dev:
+                        stacked = stack_batches(pending[:n_dev])
+                        train_state, loss = par_step(
+                            train_state, np.int32(step_idx & 0x7FFFFFFF),
+                            stacked)
+                        step_idx += 1
+                        self._parallel_steps += 1
+                        # pmean'd loss, rescaled to sum-of-segments
+                        step_losses.append(loss * n_dev)
+                        del pending[:n_dev]
+                    if force_all:
+                        for b in pending:
+                            train_state, loss = train_step(
+                                train_state,
+                                np.int32(step_idx & 0x7FFFFFFF),
+                                jax.device_put(b))
+                            step_idx += 1
+                            step_losses.append(loss)
+                        pending.clear()
+                    fold_losses()
+
+                for batch, _, macro_done in train_loader.iter_segments():
+                    account(batch)
+                    if par_step is not None:
+                        pending.append(batch)
+                        drain(force_all=macro_done)
+                    else:
+                        train_state, loss = train_step(
+                            train_state, np.int32(step_idx & 0x7FFFFFFF),
+                            jax.device_put(batch))
+                        step_idx += 1
+                        step_losses.append(loss)
+                        fold_losses()
                     # the reference increments once per macro batch
                     # (base.py:144-145), so the annealing temperature must
                     # only advance on the last segment of each macro-batch
@@ -331,14 +450,79 @@ class SatTrainer:
         (var_pred, _), _ = fwd(self.params, r_fwd, batch, state)
         return var_pred
 
+    def _parallel_solve_fn(self, iters, replication, n_dev):
+        key = ("par", iters, replication, n_dev)
+        if key not in self._step_cache:
+            from pdp_solver_tpu.parallel.mesh import (
+                make_mesh, make_parallel_solve)
+            self._step_cache[key] = make_parallel_solve(
+                self.solver, iters, replication=replication,
+                mesh=make_mesh(n_dev))
+        return self._step_cache[key]
+
+    def _solved_preds(self, pairs, replication):
+        """Yield (batch, misc, var_pred) in input order, sharding groups of
+        consecutive same-shape batches across the device mesh when more
+        than one device is visible (the reference's automatic
+        nn.DataParallel scatter, base.py:93-97). Per-batch PRNG draws and
+        init states are identical to the serial path, so predictions are
+        the same either way."""
+        c = self._config
+        iters = int(c.get("test_recurrence_num", 1000))
+        default_chunk = "100" if jax.default_backend() == "tpu" else "0"
+        chunk = int(os.environ.get("PDP_SOLVE_CHUNK", default_chunk))
+        chunked = chunk > 0 and replication == 1 and iters > chunk
+        n_dev = self._data_parallel_devices()
+        if n_dev <= 1 or chunked:
+            for batch, misc in pairs:
+                yield batch, misc, self._run_batch(batch, replication)
+            return
+
+        from pdp_solver_tpu.parallel.mesh import stack_batches
+
+        def shape_key(batch):
+            return (batch.num_vars, batch.num_clauses, batch.num_edges,
+                    batch.batch_size, batch.tree_flatten()[1])
+
+        def flush(group):
+            if len(group) == 1:
+                batch, misc = group[0]
+                yield batch, misc, self._run_batch(batch, replication)
+                return
+            rngs, states = [], []
+            batches = [b for b, _ in group]
+            for batch in batches:
+                r_state, r_fwd = jax.random.split(self._next_rng())
+                rngs.append(r_fwd)
+                states.append(self.solver.get_init_state(
+                    r_state, batch, randomized=True,
+                    replication=replication))
+            solve = self._parallel_solve_fn(iters, replication, len(group))
+            preds, _ = solve(self.params, jnp.stack(rngs),
+                             stack_batches(batches),
+                             jax.tree_util.tree_map(
+                                 lambda *xs: jnp.stack(xs, 0), *states))
+            self._parallel_groups += 1
+            for i, (batch, misc) in enumerate(group):
+                yield batch, misc, preds[i]
+
+        group = []
+        for batch, misc in pairs:
+            if group and (len(group) >= n_dev
+                          or shape_key(group[-1][0]) != shape_key(batch)):
+                yield from flush(group)
+                group = []
+            group.append((batch, misc))
+        if group:
+            yield from flush(group)
+
     def test_metrics(self, loader, replication=1):
         """Metric vector [accuracy(L1 of solved vs label), recall, loss]
         summed over instances / total (reference base.py:184-250)."""
         c = self._config
         err = np.zeros(3, np.float64)
         total = 0
-        for batch, _ in loader:
-            var_pred = self._run_batch(batch, replication)
+        for batch, _, var_pred in self._solved_preds(loader, replication):
             solved, _ = cnf_evaluate(batch, var_pred)
             mask = np.asarray(batch.instance_mask)
             s = (np.asarray(solved) > 0.5).astype(np.float32)
@@ -407,11 +591,15 @@ class SatTrainer:
         first_batch = None
         start = time.time()
         with profiler.maybe_trace():
-            for batch, misc in loader:
+            stream = iter(self._solved_preds(loader, batch_replication))
+            while True:
+                with timer.phase("solve"):
+                    item = next(stream, None)
+                if item is None:
+                    break
+                batch, misc, var_pred = item
                 if first_batch is None:
                     first_batch = batch
-                with timer.phase("solve"):
-                    var_pred = self._run_batch(batch, batch_replication)
                 n_instances += int(np.asarray(batch.instance_mask).sum())
                 with timer.phase("output"):
                     out_file.write(
