@@ -110,6 +110,15 @@ class SatTrainer:
         # at the cost of one extra forward
         remat = bool(c.get("train_remat", True))
 
+        # lax.scan over the T outer steps compiles the step body ONCE
+        # instead of unrolling it T times: for np-d-np (decimate-inside-
+        # BPTT, a step graph ~5x the flagship's) the unrolled T=10 program
+        # never finished its remote compile within a 45-min budget
+        # (docs/ROUND4.md section 5); the scanned program is ~T-times
+        # smaller. Default off so the flagship's committed compiled
+        # programs stay valid.
+        scan = bool(c.get("train_scan", False))
+
         def loss_fn(params, rng, batch, global_step):
             r_state, rng = jax.random.split(rng)
             state = solver.get_init_state(r_state, batch, randomized)
@@ -121,6 +130,23 @@ class SatTrainer:
 
             if remat:
                 step_t = jax.checkpoint(step_t)
+
+            if scan:
+                def body(carry, t):
+                    state, rng, loss = carry
+                    rng, r_fwd = jax.random.split(rng)
+                    (var_pred, _), state = step_t(params, state, r_fwd)
+                    step_loss = energy_loss(batch, var_pred, global_step,
+                                            alpha, kappa)
+                    w = jnp.power(jnp.float32(lam),
+                                  (t_outer - 1 - t).astype(jnp.float32))
+                    return (state, rng, loss + step_loss * w), None
+
+                (state, rng, loss), _ = jax.lax.scan(
+                    body, (state, rng, jnp.zeros(())),
+                    jnp.arange(t_outer))
+                return loss
+
             loss = jnp.zeros(())
             for t in range(t_outer):
                 rng, r_fwd = jax.random.split(rng)

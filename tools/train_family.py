@@ -111,6 +111,15 @@ def main():
                **FAMILY[model_type])
     if os.environ.get("TRAIN_LR"):
         cfg["learning_rate"] = float(os.environ["TRAIN_LR"])
+    if os.environ.get("TRAIN_T"):
+        # shorter outer unroll (reference T=10x1): np-d-np's unrolled
+        # program exceeded the round-4 compile budget
+        cfg["train_outer_recurrence_num"] = int(os.environ["TRAIN_T"])
+    # scanned BPTT (train/trainer.py _loss_fn): the step body compiles
+    # once instead of T times - the np-d-np compile unblock. Default ON
+    # for np-d-np, off elsewhere (flagship keeps its committed programs).
+    cfg["train_scan"] = os.environ.get(
+        "TRAIN_SCAN", "1" if model_type == "np-d-np" else "0") == "1"
     trainer = SatTrainer(cfg, seed=0)
     trainer._make_optimizer()
     ts = trainer.init_train_state()
