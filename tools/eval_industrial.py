@@ -1,0 +1,272 @@
+#!/usr/bin/env python
+"""Industrial-class mixed eval suite at the reference's flagship budget.
+
+The reference's flagship operating point is `test_recurrence_num: 8800`
+on `sat-race-2015.json` (config/Train/p-prodec2-gcnf-10-100-pytorch.yaml);
+that data ships with neither repo, so this assembles the stand-in the
+round-4 verdict asked for: a DETERMINISTIC mixed large-formula suite from
+the reference's own generator families (src/pdp/generator.py), spanning
+modular n=10k, variable-k modular, high-alpha uniform, and one giant
+n=30k instance, solved at the full 8800-iteration budget with the
+community-major reorder fast path. Verified solved fractions and walls
+per family; the torch reference is measured on the same formulas where
+feasible (small-n uniform rows; the 10k-variable rows are hours-per-
+instance on torch CPU and are recorded as infeasible).
+
+Solvers:
+  * p-d-p classical at reference semantics (tol 0.02, t_max 100)
+  * trained np-nd-np flagship on the uniform rows (documented budget)
+  * torch reference p-d-p on the small uniform rows (EVAL_REF=1)
+
+Usage (chip otherwise idle):  python tools/eval_industrial.py
+Env: EVAL_OUT (docs/eval_industrial_r5.json), EVAL_ITERS (8800),
+     EVAL_CHUNK (100), EVAL_REF (1 off-TPU feasibility), EVAL_FAMILIES
+     (comma filter), EVAL_NEURAL (1).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+from pdp_solver_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
+
+import jax
+import numpy as np
+
+from pdp_solver_tpu.fg.generators import (
+    ModularCNFGenerator, UniformCNFGenerator, VariableModularCNFGenerator)
+from pdp_solver_tpu.fg.reorder import reorder_instances, restore_solution
+from pdp_solver_tpu.solvers.base import PDPSolver, SolverConfig
+from pdp_solver_tpu.solvers.compact import compacting_solve
+from pdp_solver_tpu.utils.benchdata import dataset_fingerprint, write_json
+
+
+def host_verify(inst, sol):
+    n, m, gmap, signs = inst[0], int(inst[1]), inst[2], inst[3]
+    val = np.asarray(sol)[gmap[0]]
+    lit = np.where(np.asarray(signs) > 0, val, 1.0 - val)
+    sat_c = np.zeros(m, bool)
+    np.logical_or.at(sat_c, gmap[1], lit > 0.5)
+    return bool(sat_c.all())
+
+
+def make_suite():
+    """Deterministic families; (name, instances, ls_budget, reorder,
+    neural_ok, ref_ok)."""
+    fams = []
+
+    def gen_many(g, count):
+        return [g.generate() for _ in range(count)]
+
+    # modular 10k-variable band (reference modular training band q/c)
+    fams.append(("modular_3sat_n10000", gen_many(
+        ModularCNFGenerator(3, 10000, 10000, 0.8, 0.9, 10, 20, 3.0, 3.0,
+                            seed=101), 4), 40000, True, False, False))
+    fams.append(("vmodular_k25_n12000", gen_many(
+        VariableModularCNFGenerator(2, 5, 12000, 12000, 0.8, 0.9, 10, 20,
+                                    2.0, 2.0, seed=103), 4),
+        48000, True, False, False))
+    # high-alpha uniform at industrial n (hard-region 4-SAT, sub-threshold
+    # 3-SAT)
+    fams.append(("uniform_4sat_n1000_a9", gen_many(
+        UniformCNFGenerator(1000, 1000, 4, 4, 9.0, 9.0, seed=107), 12),
+        4000, False, True, True))
+    fams.append(("uniform_3sat_n2000_a4", gen_many(
+        UniformCNFGenerator(2000, 2000, 3, 3, 4.0, 4.0, seed=109), 12),
+        8000, False, True, True))
+    # variable-k mixed band (the reference's k in [2,10] recipe at scale)
+    fams.append(("uniform_vark_n800", gen_many(
+        UniformCNFGenerator(600, 1000, 2, 10, 2.0, 5.0, seed=113), 12),
+        4000, False, True, True))
+    # one giant formula: the single-instance scale the reference cannot
+    # batch at all (its DynamicBatchDivider only shrinks batches)
+    fams.append(("giant_modular_n30000", gen_many(
+        ModularCNFGenerator(3, 30000, 30000, 0.8, 0.9, 15, 25, 3.0, 3.0,
+                            seed=127), 1), 120000, True, False, False))
+    return fams
+
+
+def main():
+    iters = int(os.environ.get("EVAL_ITERS", 8800))
+    chunk = int(os.environ.get("EVAL_CHUNK", 100))
+    path = os.environ.get("EVAL_OUT") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..",
+        "docs", "eval_industrial_r5.json")
+
+    out = {"iters": iters, "backend": jax.default_backend(),
+           "device": str(jax.devices()[0]),
+           "classical": {"tolerance": 0.02, "t_max": 100}}
+    if os.path.exists(path) and os.environ.get("EVAL_MERGE", "1") == "1":
+        with open(path) as f:
+            for k, v in json.load(f).items():
+                if isinstance(v, dict):
+                    out.setdefault(k, v)
+
+    solver_cls = lambda ls: PDPSolver(SolverConfig(
+        model_type="p-d-p", tolerance=0.02, t_max=100,
+        local_search_iterations=ls, epsilon=0.5))
+
+    wanted = [f for f in os.environ.get("EVAL_FAMILIES", "").split(",") if f]
+    suite = make_suite()
+
+    for name, insts, ls, reorder, neural_ok, ref_ok in suite:
+        if wanted and not any(name.startswith(w) for w in wanted):
+            continue
+        row = {
+            "count": len(insts),
+            "mean_vars": int(np.mean([i[0] for i in insts])),
+            "mean_edges": int(np.mean([i[2].shape[1] for i in insts])),
+            "ls": ls,
+            "fingerprint": dataset_fingerprint(insts),
+        }
+        t0 = time.time()
+        run_insts, orders = (reorder_instances(insts) if reorder
+                             else (insts, None))
+        sols, solved, stats = compacting_solve(
+            solver_cls(ls), {}, jax.random.PRNGKey(0), run_insts, iters,
+            ls_iterations=ls, chunk=chunk, verbose=True)
+        row["wall_s"] = round(time.time() - t0, 1)
+        if reorder:
+            for i, (sol, ok) in enumerate(zip(sols, solved)):
+                if ok:
+                    rs = restore_solution(sol, orders[i])
+                    assert host_verify(insts[i], rs), \
+                        f"{name}[{i}]: restored solution fails verification"
+        else:
+            for i, (sol, ok) in enumerate(zip(sols, solved)):
+                if ok:
+                    assert host_verify(insts[i], sol), \
+                        f"{name}[{i}]: solution fails host verification"
+        row["solved"] = int(sum(solved))
+        row["solved_fraction"] = sum(solved) / len(insts)
+        row["reordered"] = bool(reorder)
+        out[name] = {**out.get(name, {}), **row}
+        print(json.dumps({name: row}), flush=True)
+        with open(path, "w") as f:
+            json.dump(out, f, indent=2)
+
+    # trained flagship on the uniform rows (documented reduced budget:
+    # neural iterations at n>=1000 are ~20x a classical sweep)
+    if os.environ.get("EVAL_NEURAL", "1") == "1":
+        import dataclasses
+        from pdp_solver_tpu.fg.batch import pack_instances
+        from pdp_solver_tpu.train.loss import cnf_evaluate
+        from pdp_solver_tpu.train.trainer import SatTrainer
+        from pdp_solver_tpu.utils.resilient import resilient_solve
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from train_flagship import CFG
+        n_iters = int(os.environ.get("EVAL_NEURAL_ITERS", 1000))
+        trainer = SatTrainer(CFG, seed=0)
+        trainer._load_params(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..",
+            "trained-models", "np-nd-np-r3", "best"))
+        for name, insts, ls, reorder, neural_ok, _ in suite:
+            if not neural_ok or (wanted and not any(
+                    name.startswith(w) for w in wanted)):
+                continue
+            solver = type(trainer.solver)(dataclasses.replace(
+                trainer.solver.cfg, local_search_iterations=ls))
+            batch = pack_instances(insts)
+            r_s, r_f = jax.random.split(jax.random.PRNGKey(1))
+            state = solver.get_init_state(r_s, batch, randomized=True)
+            t0 = time.time()
+            pred, _ = resilient_solve(solver, trainer.params, r_f, batch,
+                                      state, n_iters, chunk=chunk)
+            solved = jax.jit(
+                lambda b, p: cnf_evaluate(b, p)[0])(batch, pred)
+            mask = np.asarray(batch.instance_mask)
+            out.setdefault(name, {})["neural_flagship"] = {
+                "iters": n_iters,
+                "solved_fraction": float(
+                    (np.asarray(solved) * mask).sum() / mask.sum()),
+                "wall_s": round(time.time() - t0, 1),
+            }
+            print(json.dumps({name + ".neural": out[name][
+                "neural_flagship"]}), flush=True)
+            with open(path, "w") as f:
+                json.dump(out, f, indent=2)
+
+    print("FINAL " + json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
+
+
+def run_reference_rows(path=None, iters=None, count=None):
+    """Measure the torch reference on the feasible (small-n uniform) rows
+    of the SAME suite. Run OFF the TPU (pure CPU):
+
+        env -u PALLAS_AXON_POOL_IPS python -c \\
+          'from tools.eval_industrial import run_reference_rows; \\
+           run_reference_rows()'
+
+    The 10k+-variable rows are infeasible on torch CPU at the 8800 budget
+    (measured r3: ~9 min per 1000 iterations per n=10k instance on OUR
+    fallback; the reference's dense-mask SATProblem setup additionally
+    materialises V x F sparse masks per batch) and are recorded as such.
+    """
+    sys.path.insert(0, "/root/reference/src")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import types
+    import torch
+    import logging
+    from measure_reference import patched_termination  # tools/ sibling
+    from pdp.trainer import SatFactorGraphTrainer
+
+    iters = iters or int(os.environ.get("EVAL_ITERS", 8800))
+    path = path or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..",
+        "docs", "eval_industrial_r5.json")
+    with open(path) as f:
+        out = json.load(f)
+
+    for name, insts, ls, reorder, neural_ok, ref_ok in make_suite():
+        if not ref_ok:
+            out.setdefault(name, {})["reference"] = {
+                "status": "infeasible on torch CPU at this size/budget"}
+            continue
+        if count:
+            insts = insts[:count]
+        jp = f"/tmp/ind_{name}.json"
+        write_json(insts, jp)
+        torch.manual_seed(0)
+        np.random.seed(0)
+        config = {
+            "model_type": "p-d-p", "model_name": "sp-ref",
+            "tolerance": 0.02, "t_max": 100, "model_path": None,
+            "hidden_dim": 3, "local_search_iteration": ls, "epsilon": 0.5,
+            "verbose": False, "error_dim": 1, "exploration": 0,
+            "dropout": 0, "test_recurrence_num": iters,
+            "batch_size": 5000, "test_batch_limit": 40000000,
+            "max_cache_size": 100000, "batch_replication": 1,
+            "random_seed": 0, "loss_sharpness": 5,
+        }
+        logging.basicConfig(level=logging.ERROR)
+        t = SatFactorGraphTrainer(config=config, use_cuda=False,
+                                  logger=logging.getLogger("ref"))
+        t._check_recurrence_termination = types.MethodType(
+            patched_termination, t)
+        op = f"/tmp/ind_{name}_out.json"
+        t0 = time.time()
+        with open(op, "w") as f:
+            t.predict(test_list=jp, out_file=f, import_path_base=None,
+                      post_processor=t._post_process_predictions,
+                      batch_replication=1)
+        wall = time.time() - t0
+        rows = [json.loads(l) for l in open(op) if l.strip()]
+        out.setdefault(name, {})["reference"] = {
+            "solved": int(sum(r["solved"] for r in rows)),
+            "count": len(rows),
+            "solved_fraction": sum(r["solved"] for r in rows) / len(rows),
+            "wall_s": round(wall, 1),
+            "hardware": "cpu (torch %s)" % torch.__version__,
+        }
+        print(json.dumps({name + ".reference": out[name]["reference"]}),
+              flush=True)
+        with open(path, "w") as f:
+            json.dump(out, f, indent=2)

@@ -37,7 +37,10 @@ from pdp_solver_tpu.utils.benchdata import make_ksat_set
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 MODELS = os.path.join(HERE, "..", "trained-models")
-OUT = os.path.join(HERE, "..", "docs", "r4_solver_table.json")
+# round-5 default: 3 seeds per row (the ±5pp basin spread makes
+# single-seed family orderings noise, VERDICT r4 #8)
+OUT = os.environ.get("EVAL_OUT") or os.path.join(
+    HERE, "..", "docs", "r5_solver_table.json")
 
 NEURAL_DIMS = dict(
     prediction_dim=1, dropout=0.2, randomized=True, epsilon=0.5)
@@ -72,7 +75,7 @@ def main():
     iters = int(os.environ.get("EVAL_ITERS", "1000"))
     ls = int(os.environ.get("EVAL_LS", "1000"))
     chunk = int(os.environ.get("EVAL_CHUNK", "50"))
-    seeds = int(os.environ.get("EVAL_SEEDS", "1"))
+    seeds = int(os.environ.get("EVAL_SEEDS", "3"))
     insts = make_ksat_set()
     count = len(insts)
 
