@@ -381,6 +381,18 @@ def main():
                        "hbm_bytes_limit": ms.get("bytes_limit")}
             except Exception:
                 pass
+            if not mem.get("hbm_bytes_in_use"):
+                # the tunneled backend exposes no allocator stats; account
+                # the live device arrays client-side instead (real bytes
+                # for the persistent buffers; XLA scratch not included,
+                # labeled accordingly)
+                try:
+                    live = sum(
+                        x.nbytes for x in jax.live_arrays()
+                        if getattr(x, "nbytes", None) is not None)
+                    mem["hbm_bytes_live_arrays"] = int(live)
+                except Exception:
+                    pass
 
             large = {
                 "instances": lb_n,
