@@ -423,8 +423,23 @@ class PDPSolver:
 
         em = compute_edge_mask(batch, problem)
         rng, r_pred, r_ls = jax.random.split(rng, 3)
-        pred = self._predict(params, r_pred, batch, problem, state.dec, em,
-                             last_call=True, meta_e=meta_e)
+        if t == "np-d-np" and is_training:
+            # Training-objective fix (documented deviation): the reference
+            # trains this assembly through its IdentityPredictor
+            # (solver.py:616-637), whose output is _solution = sign(score)
+            # writes + random fill — piecewise-CONSTANT in the parameters,
+            # so the energy loss has zero gradient and the reference's
+            # train config (p-prodec2-ndec-*.yaml) cannot actually train
+            # the scorer. Here the training-time prediction is the neural
+            # scorer's own soft assignment ((tanh score + 1)/2), the same
+            # way the sibling assemblies train their predictors; the
+            # inference path (greedy decimation + identity predictor) is
+            # unchanged.
+            score = self._scorer_fn(params, batch)(state.dec, problem)
+            pred = ((score + 1.0) * 0.5, None)
+        else:
+            pred = self._predict(params, r_pred, batch, problem, state.dec,
+                                 em, last_call=True, meta_e=meta_e)
 
         if not is_training and self.cfg.local_search_iterations > 0:
             var_pred = self._local_search(r_ls, batch, problem, pred[0],
