@@ -57,3 +57,23 @@ def test_np_d_np_scan_train_step_runs():
     assert np.isfinite(float(loss))
     for leaf in jax.tree_util.tree_leaves(ts.params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_np_d_np_training_gradient_is_nonzero():
+    """The reference's np-d-np training objective is degenerate (identity
+    predictor -> piecewise-constant loss, zero gradient); the scorer-as-
+    prediction training path must produce real gradients for BOTH the
+    scorer and the propagator."""
+    cfg = dict(CFG, model_type="np-d-np", tolerance=0.05, t_max=3,
+               train_scan=True, train_outer_recurrence_num=3,
+               weight_decay=0.0)
+    tr = SatTrainer(cfg, seed=0)
+    loss_fn = tr._loss_fn()
+    batch = _batch()
+    grads = jax.grad(loss_fn)(tr.params, jax.random.PRNGKey(0), batch,
+                              np.float32(1.0))
+    import jax.numpy as jnp
+    for part in ("scorer", "prop"):
+        n = float(sum(jnp.sum(x ** 2)
+                      for x in jax.tree_util.tree_leaves(grads[part])))
+        assert n > 1e-12, f"{part} gradient is zero"
