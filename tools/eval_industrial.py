@@ -222,8 +222,10 @@ def run_reference_rows(path=None, iters=None, count=None):
     path = path or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..",
         "docs", "eval_industrial_r5.json")
-    with open(path) as f:
-        out = json.load(f)
+    out = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f)
 
     for name, insts, ls, reorder, neural_ok, ref_ok in make_suite():
         if not ref_ok:
