@@ -67,6 +67,15 @@ ROWS = {
         hidden_dim=150, mem_hidden_dim=100, agg_hidden_dim=100,
         mem_agg_hidden_dim=50, classifier_dim=50, tolerance=0.02, t_max=10,
         **NEURAL_DIMS)),
+    # control row: the same assembly at its random init (ckpt dir that
+    # never exists), so "trained beats untrained self" is evidenced in
+    # the same table (VERDICT r4 next-step #2)
+    "np-d-np-untrained": dict(kind="neural", ckpt="np-d-np-none",
+                              train_cfg=dict(
+        model_type="np-d-np", model_name="np-d-np-none",
+        hidden_dim=150, mem_hidden_dim=100, agg_hidden_dim=100,
+        mem_agg_hidden_dim=50, classifier_dim=50, tolerance=0.02, t_max=10,
+        **NEURAL_DIMS)),
 }
 
 
