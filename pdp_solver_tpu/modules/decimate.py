@@ -267,7 +267,16 @@ def sequential_decimator_apply(cfg: SeqDecimatorConfig,
     mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
     diff_b = mx[:, 0]
 
-    if active_instances is not None:
+    if active_instances is not None and classical:
+        # Paramagnetic early-stop (reference pdp_decimate.py:127-130).
+        # CLASSICAL message states only: vanishing survey magnitude is an
+        # SP concept. The reference applies the same test to the neural
+        # propagator's hidden column 0 (np-d-np assembly,
+        # solver.py:616-637), whose activations sit <= 0 routinely — every
+        # instance is then deactivated after its first decimation and the
+        # solver degenerates to random fill (measured: 6.2% on easy 3-SAT
+        # regardless of training). Documented behavioral deviation: the
+        # stop is skipped for neural message states.
         survey_b = mx[:, 1]
         active_instances = jnp.where(survey_b <= 1e-10, 0.0, active_instances)
 

@@ -141,14 +141,53 @@ def test_hybrid_solvers_with_walksat_solve_easy(rng):
     pipeline machinery (messages, decimation, random fill, WalkSAT) must
     carry them even before training."""
     batch, clause_lists, insts = _make_batch(rng, 4, 12, 2.5)
-    for mt in ("p-nd-np", "np-d-np"):
+    # np-d-np's bar is lower: with the paramagnetic stop correctly skipped
+    # for neural message states (see
+    # test_neural_sequential_decimation_not_paramagnetic_killed), its
+    # UNTRAINED scorer actually decimates, and a wrong early fix can
+    # conflict an instance out (reference semantics: a unit-prop conflict
+    # marks the instance UNSAT, solver.py:247-261) where random fill + LS
+    # would have solved it. Trained scorers clear 95%+ (train_family
+    # evals); untrained sits near 60-75%.
+    for mt, bar in (("p-nd-np", 0.75), ("np-d-np", 0.5)):
         solver = PDPSolver(SolverConfig(
             model_type=mt, hidden_dim=8, mem_hidden_dim=8, agg_hidden_dim=8,
             mem_agg_hidden_dim=8, classifier_dim=8, tolerance=0.02, t_max=10,
             local_search_iterations=300, epsilon=0.5))
         pred = _solve(solver, batch, iters=30)
         frac = _solved_fraction(batch, insts, clause_lists, pred)
-        assert frac >= 0.75, f"{mt}: solved fraction {frac} too low"
+        assert frac >= bar, f"{mt}: solved fraction {frac} too low"
+
+
+def test_neural_sequential_decimation_not_paramagnetic_killed(rng):
+    """np-d-np regression: the paramagnetic early-stop (reference
+    pdp_decimate.py:127-130, `survey <= 1e-10` -> deactivate instance) is
+    an SP-survey concept; the reference applies it to the NEURAL
+    propagator's hidden column 0 too, which deactivates every instance
+    after its first decimation and reduces np-d-np inference to random
+    fill. Our sequential decimator skips the stop for neural message
+    states: with termination checking ON, decimation must still fix
+    (essentially) all variables."""
+    batch, clause_lists, insts = _make_batch(rng, 6, 14, 2.5)
+    solver = PDPSolver(SolverConfig(
+        model_type="np-d-np", hidden_dim=8, mem_hidden_dim=8,
+        agg_hidden_dim=8, mem_agg_hidden_dim=8, classifier_dim=8,
+        tolerance=0.02, t_max=5, local_search_iterations=0, epsilon=0.5))
+    r_init, r_fwd = jax.random.split(jax.random.PRNGKey(11))
+    state = solver.get_init_state(r_init, batch, randomized=True)
+    params = solver.init_params(jax.random.PRNGKey(42))
+    fwd = jax.jit(lambda p, r, b, s: solver.forward(
+        p, r, b, s, 120, is_training=False, check_termination=True,
+        finalize=False))
+    _, _, carry = fwd(params, r_fwd, batch, state)
+    active = float(jnp.sum(carry[0].active_vars))
+    total = float(jnp.sum(batch.var_mask))
+    # t_max=5 over 120 iterations decimates ~24 rounds; with unit-prop
+    # cascades every 14-var instance must fully decimate. Before the fix
+    # exactly one variable per instance was ever fixed (active ~ total-6).
+    assert active <= 0.1 * total, \
+        f"paramagnetic stop still killing neural decimation: " \
+        f"{active}/{total} vars still active"
 
 
 def test_multi_variable_decimation_solves_and_converges_faster(rng):
