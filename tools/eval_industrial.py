@@ -231,6 +231,8 @@ def run_reference_rows(path=None, iters=None, count=None):
         if not ref_ok:
             out.setdefault(name, {})["reference"] = {
                 "status": "infeasible on torch CPU at this size/budget"}
+            with open(path, "w") as f:
+                json.dump(out, f, indent=2)
             continue
         if count:
             insts = insts[:count]
