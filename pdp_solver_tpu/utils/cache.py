@@ -80,7 +80,13 @@ def enable_compilation_cache(path=None, min_compile_s=None):
         return False
     path = path or env or default_cache_dir()
     if min_compile_s is None:
-        min_compile_s = float(os.environ.get("PDP_COMPILE_CACHE_MIN_S", 0.5))
+        # 0: persist EVERY program. The 0.5s threshold left ~45 small
+        # programs uncached, and on the tunneled backend each recompile
+        # costs ~2s of round-trips — the entire residual 100s warm-up of
+        # BENCH_r04 (43 misses) was exactly these (round-5 measurement:
+        # warm run = 100.3s / 45 misses at 0.5, every one a sub-threshold
+        # program).
+        min_compile_s = float(os.environ.get("PDP_COMPILE_CACHE_MIN_S", 0.0))
     os.makedirs(path, exist_ok=True)
     import jax
     jax.config.update("jax_compilation_cache_dir", path)
